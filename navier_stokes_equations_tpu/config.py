@@ -1,0 +1,111 @@
+"""Declarative solver configuration.
+
+Replaces the reference's three-level config (compile-time test selection in
+main.cpp:13-22, factory defaults in TestCases.hpp:93-96, hard-coded constants
+in NavierStokes.hpp:514-521 / NavierStokes.cpp:545,836) with one runtime
+dataclass.  The six named presets live in ``models/test_cases.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class TimeScheme(enum.Enum):
+    BACKWARD_EULER = "backward_euler"
+    CRANK_NICOLSON = "crank_nicolson"
+
+
+class NonlinearMethod(enum.Enum):
+    NEWTON = "newton"
+    LINEARIZED = "linearized"
+
+
+def compute_default_deltat(Re: float) -> float:
+    """Re-based default time step (reference: NavierStokes.hpp:368-375)."""
+    if Re <= 20:
+        return 0.1
+    if Re <= 50:
+        return 0.05
+    if Re <= 100:
+        return 0.02
+    if Re <= 150:
+        return 0.01
+    return 0.005
+
+
+# Physical / geometric constants (reference: NavierStokes.hpp:490-497).
+RHO = 1.0
+CYLINDER_D = 0.1
+CHANNEL_H = 0.41
+
+
+def mean_velocity_factor(dim: int) -> float:
+    """U_mean = factor * U_m (reference: NavierStokes.cpp:64-70, 990-994)."""
+    return 2.0 / 3.0 if dim == 2 else 4.0 / 9.0
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Everything the solver needs beyond the mesh.
+
+    ``inlet_profile(coords, t)`` maps boundary-node coordinates (n, dim) and a
+    (traced) time scalar to velocity values (n, dim); it must be jax-traceable.
+    ``forcing`` maps quadrature-point coordinates (..., dim) and time to a
+    body force (..., dim); ``None`` means identically zero (all reference
+    cases; the term is then dropped from the compiled graph).
+    """
+
+    name: str = "custom"
+    description: str = ""
+    dim: int = 2
+    Re: float = 100.0
+    U_m: float = 1.5
+    T: float = 8.0
+    deltat: float = -1.0  # <= 0: Re-based default
+    time_scheme: TimeScheme = TimeScheme.CRANK_NICOLSON
+    nonlinear_method: NonlinearMethod = NonlinearMethod.LINEARIZED
+    use_supg: bool = False
+    grad_div_gamma: float = 0.1  # reference: NavierStokes.cpp:463,793
+
+    inlet_profile: Optional[Callable] = None
+    forcing: Optional[Callable] = None
+    initial_condition: Optional[Callable] = None  # coords -> (n, dim+1) or None
+
+    # Solver budgets (reference: NavierStokes.cpp:545,554-555,836; hpp:514-515)
+    gmres_maxiter_newton: int = 500
+    gmres_maxiter_linear: int = 200
+    gmres_restart: int = 150
+    gmres_rtol: float = 1e-2
+    newton_max_iterations: int = 50
+    newton_tolerance: float = 1e-8
+    max_substeps: int = 4  # dt-halving retries (reference: NavierStokes.cpp:1211)
+
+    # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
+    precond_vel_sweeps: int = 2  # Chebyshev/Jacobi sweeps on the velocity block
+    precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
+    kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)
+
+    # Numerics
+    dtype: str = "float32"  # "float32" | "float64"
+    rho: float = RHO
+
+    def resolved_deltat(self) -> float:
+        return self.deltat if self.deltat > 0 else compute_default_deltat(self.Re)
+
+    @property
+    def theta(self) -> float:
+        return 0.5 if self.time_scheme == TimeScheme.CRANK_NICOLSON else 1.0
+
+    @property
+    def nu(self) -> float:
+        """nu = U_mean * D / Re (reference: NavierStokes.cpp:64-70)."""
+        u_mean = mean_velocity_factor(self.dim) * self.U_m
+        return u_mean * CYLINDER_D / self.Re
+
+    def np_dtype(self):
+        return np.float64 if self.dtype == "float64" else np.float32

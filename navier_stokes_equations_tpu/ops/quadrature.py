@@ -1,0 +1,133 @@
+"""Simplex quadrature rules built by conical (Duffy) products of Gauss-Jacobi rules.
+
+TPU-native analog of deal.II ``QGaussSimplex<dim>(n_points_1d)`` used by the
+reference solver (reference: src/classes/NavierStokes.hpp:433-434).  A conical
+product with ``n`` points per direction is exact for polynomials of total
+degree ``2n - 1`` on the reference simplex, which covers every bilinear form
+the solver assembles (P2 Taylor-Hood velocity, P1 pressure).
+
+All tables are plain NumPy float64: they are computed once at setup and baked
+into the jitted compute graphs as constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadratureRule:
+    """Quadrature on the unit reference simplex.
+
+    points:  (nq, dim) reference coordinates.
+    weights: (nq,) weights, summing to the reference simplex measure
+             (1 for the segment, 1/2 for the triangle, 1/6 for the tet).
+    """
+
+    points: np.ndarray
+    weights: np.ndarray
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+
+def gauss_jacobi(n: int, alpha: float) -> tuple[np.ndarray, np.ndarray]:
+    """Nodes/weights for \\int_0^1 f(x) (1-x)^alpha dx via Golub-Welsch.
+
+    Jacobi weight (1-t)^alpha (1+t)^0 on [-1, 1], mapped to [0, 1].
+    """
+    if n < 1:
+        raise ValueError("need at least one quadrature point")
+    beta = 0.0
+    k = np.arange(n, dtype=np.float64)
+    apb = alpha + beta
+    # Diagonal (recurrence 'a_k') of the symmetric Jacobi matrix.
+    diag = np.empty(n)
+    denom = (2.0 * k + apb) * (2.0 * k + apb + 2.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        diag = (beta**2 - alpha**2) / denom
+    if apb == 0.0:
+        diag[0] = 0.0
+    else:
+        diag[0] = (beta - alpha) / (apb + 2.0)
+    # Off-diagonal (sqrt of 'b_k') for k = 1..n-1.
+    kk = np.arange(1, n, dtype=np.float64)
+    num = 4.0 * kk * (kk + alpha) * (kk + beta) * (kk + apb)
+    den = (2.0 * kk + apb) ** 2 * (2.0 * kk + apb + 1.0) * (2.0 * kk + apb - 1.0)
+    off = np.sqrt(num / den)
+    J = np.diag(diag)
+    if n > 1:
+        J += np.diag(off, 1) + np.diag(off, -1)
+    t, vecs = np.linalg.eigh(J)
+    # Zeroth moment of the weight on [-1,1]: 2^{a+b+1} B(a+1, b+1).
+    from math import gamma
+
+    mu0 = 2.0 ** (apb + 1.0) * gamma(alpha + 1.0) * gamma(beta + 1.0) / gamma(apb + 2.0)
+    w = mu0 * vecs[0, :] ** 2
+    # Map t in [-1,1] -> x in [0,1] with (1-x)^alpha weight:
+    #   x = (1+t)/2,   dx weight picks up 2^{-alpha-1}.
+    x = 0.5 * (1.0 + t)
+    w = w * 0.5 ** (alpha + 1.0)
+    order = np.argsort(x)
+    return x[order], w[order]
+
+
+def gauss_legendre_01(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Gauss-Legendre on [0, 1] (weights sum to 1)."""
+    return gauss_jacobi(n, 0.0)
+
+
+def segment_rule(n_points_1d: int) -> QuadratureRule:
+    x, w = gauss_legendre_01(n_points_1d)
+    return QuadratureRule(points=x[:, None].copy(), weights=w.copy())
+
+
+def triangle_rule(n_points_1d: int) -> QuadratureRule:
+    """Conical-product rule on {(x,y): x,y>=0, x+y<=1}; exact to degree 2n-1."""
+    xi, wxi = gauss_legendre_01(n_points_1d)
+    eta, weta = gauss_jacobi(n_points_1d, 1.0)  # weight (1-eta)
+    pts = []
+    wts = []
+    for j in range(n_points_1d):
+        for i in range(n_points_1d):
+            x = xi[i] * (1.0 - eta[j])
+            y = eta[j]
+            pts.append((x, y))
+            wts.append(wxi[i] * weta[j])
+    return QuadratureRule(points=np.array(pts), weights=np.array(wts))
+
+
+def tetrahedron_rule(n_points_1d: int) -> QuadratureRule:
+    """Conical-product rule on the unit tet; exact to degree 2n-1."""
+    xi, wxi = gauss_legendre_01(n_points_1d)
+    eta, weta = gauss_jacobi(n_points_1d, 1.0)  # weight (1-eta)
+    zeta, wzeta = gauss_jacobi(n_points_1d, 2.0)  # weight (1-zeta)^2
+    pts = []
+    wts = []
+    for k in range(n_points_1d):
+        for j in range(n_points_1d):
+            for i in range(n_points_1d):
+                z = zeta[k]
+                y = eta[j] * (1.0 - z)
+                x = xi[i] * (1.0 - eta[j]) * (1.0 - z)
+                pts.append((x, y, z))
+                wts.append(wxi[i] * weta[j] * wzeta[k])
+    return QuadratureRule(points=np.array(pts), weights=np.array(wts))
+
+
+def simplex_rule(dim: int, n_points_1d: int) -> QuadratureRule:
+    """Volume rule on the reference simplex of dimension ``dim``."""
+    if dim == 1:
+        return segment_rule(n_points_1d)
+    if dim == 2:
+        return triangle_rule(n_points_1d)
+    if dim == 3:
+        return tetrahedron_rule(n_points_1d)
+    raise ValueError(f"unsupported dim {dim}")
