@@ -1,0 +1,151 @@
+"""Device-resident finite-element arrays (the jit-facing mesh representation).
+
+Built once on the host from a ``THMesh``; every array has a static shape so
+all downstream computations compile once.  This is the TPU-native analog of
+the reference's DoFHandler + sparsity setup (reference:
+src/classes/NavierStokes.cpp:82-273), except nothing sparse is ever formed:
+operators act element-wise (gather -> batched dense kernel -> scatter-add).
+
+Global DoF layout (component-major blocks, mirroring the reference's
+component-wise renumbering at NavierStokes.cpp:87-89):
+
+    x = [ u_x (n_vnodes) | u_y (n_vnodes) | (u_z) | p (n_vertices) ]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.taylor_hood import THMesh
+from . import elements as el
+from . import quadrature as quad
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FEArrays:
+    """Static per-element tables and connectivity, as device arrays."""
+
+    # --- data fields (pytree leaves) -----------------------------------
+    elems_p2: Any  # (n_el, n2) int32
+    elems_p1: Any  # (n_el, n1) int32
+    elem_dofs: Any  # (n_el, nd) int32, component-major local layout
+    jinv: Any  # (n_el, dim, dim)
+    jxw: Any  # (n_el, nq)
+    diameters: Any  # (n_el,) SUPG h (longest edge)
+    p2_val: Any  # (nq, n2)
+    p2_refg: Any  # (nq, n2, dim)
+    p2_refhess: Any  # (n2, dim, dim) constant hessians of P2 shapes
+    p1_val: Any  # (nq, n1)
+    p1_refg: Any  # (n1, dim)
+    qpoints: Any  # (n_el, nq, dim) physical quadrature points
+    # Pressure-space element matrices for the preconditioner (static,
+    # assembled once; reference: NavierStokes.cpp:468-474, 529-538).
+    kp_e: Any  # (n_el, n1, n1) pressure Laplacian (regularized)
+    mp_e: Any  # (n_el, n1, n1) pressure mass
+
+    # --- static metadata ------------------------------------------------
+    dim: int = dataclasses.field(metadata=dict(static=True))
+    n_el: int = dataclasses.field(metadata=dict(static=True))
+    nq: int = dataclasses.field(metadata=dict(static=True))
+    n2: int = dataclasses.field(metadata=dict(static=True))
+    n1: int = dataclasses.field(metadata=dict(static=True))
+    n_vnodes: int = dataclasses.field(metadata=dict(static=True))
+    n_p: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nd(self) -> int:
+        return self.dim * self.n2 + self.n1
+
+    @property
+    def n_udofs(self) -> int:
+        return self.dim * self.n_vnodes
+
+    @property
+    def n_dofs(self) -> int:
+        return self.n_udofs + self.n_p
+
+    # --- field helpers ---------------------------------------------------
+    def split(self, x):
+        """Global vector -> (u (n_vnodes, dim), p (n_p,))."""
+        u = x[: self.n_udofs].reshape(self.dim, self.n_vnodes).T
+        return u, x[self.n_udofs :]
+
+    def join(self, u, p):
+        return jnp.concatenate([u.T.reshape(-1), p])
+
+    def gather_u(self, u):
+        """(n_vnodes, dim) -> per-element (n_el, n2, dim)."""
+        return u[self.elems_p2]
+
+    def phys_grads_p2(self):
+        """(n_el, nq, n2, dim) physical gradients of P2 shapes."""
+        return jnp.einsum("qak,ekd->eqad", self.p2_refg, self.jinv)
+
+    def phys_grads_p1(self):
+        """(n_el, n1, dim) physical gradients of P1 shapes (constant in q)."""
+        return jnp.einsum("ck,ekd->ecd", self.p1_refg, self.jinv)
+
+    def phys_laplacians_p2(self):
+        """(n_el, n2) physical Laplacians of P2 shapes (constant per element)."""
+        C = jnp.einsum("ekd,eld->ekl", self.jinv, self.jinv)
+        return jnp.einsum("akl,ekl->ea", self.p2_refhess, C)
+
+
+def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays:
+    """Host-side construction of all static tables."""
+    dim = mesh.dim
+    rule = quad.simplex_rule(dim, n_q1d)
+    t2 = el.shape_tables(dim, 2, rule.points)
+    t1 = el.shape_tables(dim, 1, rule.points)
+
+    jxw = rule.weights[None, :] * mesh.detj[:, None]  # (n_el, nq)
+
+    # Physical quadrature points: x = sum_c p1_val[q,c] * vertex_c.
+    verts = mesh.vertices[mesh.elems_p1]  # (n_el, n1, dim)
+    qpoints = np.einsum("qc,ecd->eqd", t1.values, verts)
+
+    # Component-major element DoF map.
+    n2 = mesh.n_en2
+    n1 = mesh.n_en1
+    nv = mesh.n_vnodes
+    vel_dofs = np.concatenate(
+        [d * nv + mesh.elems_p2 for d in range(dim)], axis=1
+    )  # (n_el, dim*n2)
+    p_dofs = dim * nv + mesh.elems_p1
+    elem_dofs = np.concatenate([vel_dofs, p_dofs], axis=1).astype(np.int32)
+
+    # Static pressure-space element matrices (assembled in f64 on the host).
+    g1 = np.einsum("ck,ekd->ecd", t1.grads[0], mesh.jinv)  # P1 ref grads const in q
+    kp_e = np.einsum("ecd,efd,e->ecf", g1, g1, mesh.detj * rule.weights.sum())
+    mp_e = np.einsum("q,qc,qf->cf", rule.weights, t1.values, t1.values)[None] * mesh.detj[:, None, None]
+
+    f = lambda a: jnp.asarray(a, dtype)
+    return FEArrays(
+        elems_p2=jnp.asarray(mesh.elems_p2),
+        elems_p1=jnp.asarray(mesh.elems_p1),
+        elem_dofs=jnp.asarray(elem_dofs),
+        jinv=f(mesh.jinv),
+        jxw=f(jxw),
+        diameters=f(mesh.diameters),
+        p2_val=f(t2.values),
+        p2_refg=f(t2.grads),
+        p2_refhess=f(t2.hessians[0]),
+        p1_val=f(t1.values),
+        p1_refg=f(t1.grads[0]),
+        qpoints=f(qpoints),
+        kp_e=f(kp_e),
+        mp_e=f(mp_e),
+        dim=dim,
+        n_el=mesh.n_el,
+        nq=rule.num_points,
+        n2=n2,
+        n1=n1,
+        n_vnodes=nv,
+        n_p=mesh.n_vertices,
+    )

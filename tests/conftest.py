@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+# config update below reliably pins tests to the host CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib

@@ -1,0 +1,205 @@
+"""Element assembly: analytic integrals, block symmetry, Jacobian consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_equations_tpu.mesh import gmsh_io, taylor_hood
+from navier_stokes_equations_tpu.ops import assembly, fe_arrays, operators
+
+
+def _unit_square_mesh():
+    """Two-triangle unit square, tagged with the benchmark boundary ids."""
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    lines = np.array([[0, 1], [1, 2], [2, 3], [3, 0]], np.int32)
+    tags = np.array([103, 102, 103, 101], np.int32)
+    raw = gmsh_io.RawGmsh(
+        points=np.concatenate([pts, np.zeros((4, 1))], axis=1),
+        physical_names={101: "inlet", 102: "outlet", 103: "walls"},
+        cells={1: (lines, tags), 2: (tris, np.full(2, 201, np.int32))},
+    )
+    return taylor_hood.build(raw, repair_boundary_ids=False)
+
+
+@pytest.fixture(scope="module")
+def sq():
+    mesh = _unit_square_mesh()
+    fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float64)
+    return mesh, fe
+
+
+def _params(dt=0.1, theta=1.0, nu=0.01, supg=False, gamma=0.1):
+    return assembly.StepParams(dt=dt, theta=theta, nu=nu, rho=1.0, gamma=gamma, use_supg=supg)
+
+
+def _dense(fe, A_e):
+    """Scatter element matrices into a dense global matrix (test only)."""
+    n = fe.n_dofs
+    A = np.zeros((n, n))
+    dofs = np.asarray(fe.elem_dofs)
+    Ae = np.asarray(A_e)
+    for e in range(fe.n_el):
+        idx = dofs[e]
+        A[np.ix_(idx, idx)] += Ae[e]
+    return A
+
+
+def test_stokes_blocks_analytic(sq):
+    """theta=1, u*=0: A_vv = M/dt + nu K; check against analytic integrals."""
+    mesh, fe = sq
+    u0 = jnp.zeros((fe.n_vnodes, 2), jnp.float64)
+    params = _params(dt=2.0, theta=1.0, nu=3.0)
+    A_e, b_e = assembly.oseen_system(fe, params, u0, u0)
+    A = _dense(fe, A_e)
+    nv = fe.n_vnodes
+
+    # Quadratic field u = (x^2 + y^2) interpolated exactly by P2.
+    coords = np.asarray(fe.qpoints)  # not needed; use nodal coords
+    xy = np.array(mesh.vel_coords)
+    f = xy[:, 0] ** 2 + xy[:, 1] ** 2
+    x = np.zeros(fe.n_dofs)
+    x[:nv] = f  # u_x = f, u_y = 0
+
+    # x^T A_vv x = (1/dt) int f^2 + nu int |grad f|^2 over the unit square.
+    # int (x^2+y^2)^2 = 28/45 ; int |(2x,2y)|^2 = 8/3.
+    quad_form = x[: fe.n_udofs] @ A[: fe.n_udofs, : fe.n_udofs] @ x[: fe.n_udofs]
+    want = (1.0 / 2.0) * 28.0 / 45.0 + 3.0 * 8.0 / 3.0
+    assert quad_form == pytest.approx(want, rel=1e-12)
+
+    # Divergence block: p^T B u for p = 1, u = (x, 0):  -int 1 * div u = -1.
+    xu = np.zeros(fe.n_dofs)
+    xu[:nv] = xy[:, 0]
+    pT = np.zeros(fe.n_dofs)
+    pT[fe.n_udofs :] = 1.0
+    assert pT @ A @ xu == pytest.approx(-1.0, rel=1e-12)
+    # Symmetry of the saddle structure: A_vp = A_pv^T.
+    Avp = A[: fe.n_udofs, fe.n_udofs :]
+    Apv = A[fe.n_udofs :, : fe.n_udofs]
+    np.testing.assert_allclose(Avp, Apv.T, atol=1e-13)
+    # Pressure-pressure block is zero; pressure RHS rows are zero.
+    np.testing.assert_allclose(A[fe.n_udofs :, fe.n_udofs :], 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(b_e)[:, -fe.n1 :], 0.0, atol=1e-14)
+
+
+def test_oseen_convection_analytic(sq):
+    """Convection block: v^T C u with constant advection beta = (1, 2)."""
+    mesh, fe = sq
+    nv = fe.n_vnodes
+    xy = np.array(mesh.vel_coords)
+    beta = np.zeros((fe.n_vnodes, 2))
+    beta[:, 0] = 1.0
+    beta[:, 1] = 2.0
+    params = _params(dt=1e12, theta=1.0, nu=0.0)
+    A_e, _ = assembly.oseen_system(fe, params, jnp.asarray(beta), jnp.zeros_like(beta))
+    A = _dense(fe, A_e)
+    # u = (x*y, 0), v = (x, 0):  int x * (beta . grad)(xy) = int x(y + 2x).
+    u = np.zeros(fe.n_dofs)
+    u[:nv] = xy[:, 0] * xy[:, 1]
+    v = np.zeros(fe.n_dofs)
+    v[:nv] = xy[:, 0]
+    want = 0.25 + 2.0 * (1.0 / 3.0)
+    assert v @ A @ u == pytest.approx(want, rel=1e-12)
+
+
+def test_oseen_rhs_theta(sq):
+    """CN RHS against analytic integrals for a quadratic old field."""
+    mesh, fe = sq
+    nv = fe.n_vnodes
+    xy = np.array(mesh.vel_coords)
+    uold = np.zeros((nv, 2))
+    uold[:, 0] = xy[:, 1] ** 2  # u^n = (y^2, 0)
+    dt, theta, nu = 0.5, 0.5, 0.1
+    params = _params(dt=dt, theta=theta, nu=nu)
+    _, b_e = assembly.oseen_system(fe, params, jnp.asarray(uold), jnp.asarray(uold))
+    b = np.zeros(fe.n_dofs)
+    dofs = np.asarray(fe.elem_dofs)
+    for e in range(fe.n_el):
+        b[dofs[e]] += np.asarray(b_e)[e]
+    # Test function v = (1, 0):
+    #   (1/dt) int y^2 - (1-theta) nu int 0 (grad v = 0) - (1-theta) int (u.grad u)_x
+    #   u.grad u = (y^2 d/dx)(y^2,0) = 0  -> only the mass term survives.
+    v = np.zeros(fe.n_dofs)
+    v[:nv] = 1.0
+    assert v @ b == pytest.approx((1.0 / dt) * (1.0 / 3.0), rel=1e-12)
+    # v = (x y^2, 0): mass term (1/dt) int x y^4 = 1/(10 dt); viscous term
+    #   -(1-theta) nu int grad(y^2).grad(x y^2) = -(1-th) nu int 2y*2xy = -(1-th)nu
+    v2 = np.zeros(fe.n_dofs)
+    v2[:nv] = xy[:, 0] * xy[:, 1] ** 2
+    # x y^2 is cubic: P2 cannot represent it; use the interpolant only for
+    # fields P2 reproduces. Instead take v = (x y, 0): mass (1/dt) int x y^3
+    # = 1/(8 dt); viscous -(1-th) nu int (y,x).(0, 2y... ) careful ->
+    # grad(y^2) = (0, 2y), grad(xy) = (y, x): dot = 2xy, int = 1/2.
+    v2[:nv] = xy[:, 0] * xy[:, 1]
+    got = v2 @ b
+    want = (1.0 / dt) * (1.0 / 8.0) - (1.0 - theta) * nu * 0.5
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+@pytest.mark.parametrize("supg", [False])
+def test_newton_jacobian_matches_fd(sq, supg):
+    """J v == -d/deps rhs(x + eps v) (rhs is -R; J is the exact Jacobian)."""
+    mesh, fe = sq
+    rng = np.random.default_rng(3)
+    params = _params(dt=0.2, theta=0.7, nu=0.05, supg=supg)
+    nv = fe.n_vnodes
+
+    uold = rng.normal(size=(nv, 2)) * 0.1
+
+    def residual_rhs(x):
+        u, p = fe.split(x)
+        _, b_e = assembly.newton_system(fe, params, u, p, jnp.asarray(uold))
+        return operators.scatter_add(fe, b_e)
+
+    x0 = jnp.asarray(rng.normal(size=fe.n_dofs) * 0.1)
+    v = jnp.asarray(rng.normal(size=fe.n_dofs))
+
+    u0, p0 = fe.split(x0)
+    A_e, _ = assembly.newton_system(fe, params, u0, p0, jnp.asarray(uold))
+    Jv = operators.apply_element_matrices(fe, A_e, v)
+
+    eps = 1e-6
+    fd = -(residual_rhs(x0 + eps * v) - residual_rhs(x0 - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(Jv), np.asarray(fd), rtol=2e-6, atol=2e-7)
+
+
+def test_newton_residual_zero_at_rest(sq):
+    """u = p = 0, u_old = 0, no forcing -> residual identically zero."""
+    mesh, fe = sq
+    z = jnp.zeros((fe.n_vnodes, 2), jnp.float64)
+    p = jnp.zeros((fe.n_p,), jnp.float64)
+    _, b_e = assembly.newton_system(fe, _params(), z, p, z)
+    np.testing.assert_allclose(np.asarray(b_e), 0.0, atol=1e-15)
+
+
+def test_supg_runs_and_is_consistent(sq):
+    """SUPG terms vanish when applied to the exact strong solution u=0."""
+    mesh, fe = sq
+    z = jnp.zeros((fe.n_vnodes, 2), jnp.float64)
+    params = _params(supg=True)
+    A_e, b_e = assembly.oseen_system(fe, params, z, z)
+    np.testing.assert_allclose(np.asarray(b_e), 0.0, atol=1e-15)
+    # grad-div adds a symmetric PSD contribution on velocity rows.
+    A = _dense(fe, A_e)
+    A0 = _dense(fe, assembly.oseen_system(fe, _params(supg=False), z, z)[0])
+    G = A[: fe.n_udofs, : fe.n_udofs] - A0[: fe.n_udofs, : fe.n_udofs]
+    np.testing.assert_allclose(G, G.T, atol=1e-13)
+    w = np.linalg.eigvalsh(G)
+    assert w.min() > -1e-12
+
+
+def test_extrapolation_clamp():
+    u_old = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    u_oo = jnp.array([[0.5, 0.0], [-1.0, 0.0]])
+    out = assembly.extrapolate_advection(u_old, u_oo, first_order=jnp.asarray(False))
+    # Row 0: 2*1-0.5 = 1.5 > 1.2 -> clamped to u_old.
+    np.testing.assert_allclose(out[0], [1.0, 0.0])
+    # Row 1: 2*1+1 = 3 > 1.2 -> clamped.
+    np.testing.assert_allclose(out[1], [1.0, 0.0])
+    out_first = assembly.extrapolate_advection(u_old, u_oo, first_order=jnp.asarray(True))
+    np.testing.assert_allclose(out_first, u_old)
+    # Small growth is kept.
+    u_oo2 = jnp.array([[0.9, 0.0], [0.95, 0.0]])
+    out2 = assembly.extrapolate_advection(u_old, u_oo2, first_order=jnp.asarray(False))
+    np.testing.assert_allclose(out2[0], [1.1, 0.0])
