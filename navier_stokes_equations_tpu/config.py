@@ -80,10 +80,20 @@ class SolverConfig:
     gmres_maxiter_newton: int = 500
     gmres_maxiter_linear: int = 200
     gmres_restart: int = 150
-    gmres_rtol: float = 1e-2
+    # Absolute stopping criterion ||r|| <= gmres_rtol * ||b||.  The reference
+    # uses 1e-2 with a zero initial guess (cpp:545, 836); with warm starting
+    # that criterion is met almost immediately and suppresses the unsteady
+    # dynamics, so the default here is tighter.  Validated on 2D-2: 1e-4
+    # reproduces the DFG shedding (St=0.294 on the coarse mesh) while 1e-2 +
+    # warm start locks onto a spurious steady state.
+    gmres_rtol: float = 1e-4
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
     max_substeps: int = 4  # dt-halving retries (reference: NavierStokes.cpp:1211)
+    # Warm-start GMRES from the previous time level (the reference starts
+    # from zero, cpp:849/560; warm starting converges to the same tolerance
+    # in fewer iterations and is the TPU default).
+    gmres_warm_start: bool = True
 
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
     precond_vel_sweeps: int = 2  # Chebyshev/Jacobi sweeps on the velocity block

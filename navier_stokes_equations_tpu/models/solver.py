@@ -1,0 +1,399 @@
+"""The solver facade: setup + jitted time stepping + driver loop.
+
+TPU-native re-design of ``NavierStokes<dim>`` (reference:
+src/classes/NavierStokes.hpp:226-603, NavierStokes.cpp:1044-1327).  One
+entire time step — assembly, retry ladder / Newton iteration, FGMRES with
+the Cahouet-Chabard preconditioner, benchmark functionals — is a single
+jitted function of the solution state; the driver loop streams steps and
+handles I/O (forces.txt, console log, VTU, checkpoints).
+
+Robustness logic replicated from the reference:
+  * CN first step executed as BE (cpp:1077-1081);
+  * linearized path: in-step checkpoint + dt-halving retries (<=4) with a
+    BE + first-order fallback on the first failure and a final forced-BE
+    acceptance (cpp:1209-1289).  As in the reference, a retried step
+    advances the physical fields by the *reduced* dt while the clock
+    advances by the nominal dt;
+  * Newton path: adaptive damping in [0.05, 1] with stall halving / growth,
+    plus backtracking after a failed linear solve (cpp:1144-1201).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NonlinearMethod, SolverConfig, TimeScheme
+from ..mesh import taylor_hood
+from ..mesh.taylor_hood import THMesh
+from ..ops import assembly, dirichlet, fe_arrays, functionals, operators
+from ..solvers import gmres, preconditioners
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class State:
+    """Time-marching state (all device arrays).
+
+    The current solution always coincides with ``x_old`` after the history
+    shift (reference: cpp:1299-1302), so it is not stored separately.
+    """
+
+    x_old: Any  # solution at t^n (= the current solution)
+    x_old_old: Any  # solution at t^{n-1} (CN extrapolation)
+    time: Any  # scalar
+    step: Any  # int32
+    first_step: Any  # bool scalar
+    second_step: Any  # bool scalar
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepMetrics:
+    time: Any
+    drag: Any
+    lift: Any
+    delta_p: Any
+    gmres_iters: Any
+    newton_iters: Any
+    converged: Any
+    residual: Any
+    dt_used: Any
+
+
+class NavierStokesSolver:
+    """End-to-end solver for one benchmark configuration on one mesh."""
+
+    def __init__(
+        self,
+        cfg: SolverConfig,
+        mesh: THMesh | str,
+        n_q1d: int = 3,
+        pad_multiple: int = 1,
+    ):
+        self.cfg = cfg
+        if isinstance(mesh, str):
+            mesh = taylor_hood.load(mesh)
+        if pad_multiple > 1:
+            mesh = taylor_hood.pad_elements(mesh, pad_multiple)
+        if mesh.dim != cfg.dim:
+            raise ValueError(f"config is {cfg.dim}D but mesh is {mesh.dim}D")
+        self.mesh = mesh
+
+        dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        self.dtype = dtype
+        self.fe = fe_arrays.build_fe_arrays(mesh, n_q1d=n_q1d, dtype=dtype)
+        self.dirichlet = dirichlet.build_dirichlet(mesh, self.fe, dtype=dtype)
+        pin = dirichlet.pressure_pin_mask(mesh, self.fe)
+        self.pressure_ops = preconditioners.build_pressure_operators(
+            self.fe, pin, kp_regularization=cfg.kp_regularization
+        )
+        self.force_tables = functionals.build_force_tables(mesh, self.fe, dtype)
+        self.probe_tables = functionals.build_probe_tables(mesh)
+
+        self.dt0 = cfg.resolved_deltat()
+        self.nu = cfg.nu
+        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> State:
+        """Interpolate the initial condition (reference: cpp:1047-1058)."""
+        fe = self.fe
+        x0 = np.zeros(fe.n_dofs, dtype=np.float64)
+        ic = self.cfg.initial_condition
+        if ic is not None:
+            uvals = np.asarray(ic(self.mesh.vel_coords))  # (n_vnodes, dim+1)
+            for d in range(fe.dim):
+                x0[d * fe.n_vnodes : (d + 1) * fe.n_vnodes] = uvals[:, d]
+            pvals = np.asarray(ic(self.mesh.vertices))
+            x0[fe.n_udofs :] = pvals[:, fe.dim]
+        x0 = jnp.asarray(x0, self.dtype)
+        return State(
+            x_old=x0,
+            # Distinct buffer: the step function donates its inputs and a
+            # donated buffer must not appear twice.
+            x_old_old=jnp.array(x0, copy=True),
+            time=jnp.asarray(0.0, self.dtype),
+            step=jnp.asarray(0, jnp.int32),
+            first_step=jnp.asarray(True),
+            second_step=jnp.asarray(True),
+        )
+
+    # ------------------------------------------------------------------
+    def _forcing_at(self, t, dt_att):
+        cfg = self.cfg
+        if cfg.forcing is None:
+            return None, None
+        f_new = cfg.forcing(self.fe.qpoints, t)
+        f_old = cfg.forcing(self.fe.qpoints, t - dt_att)
+        return f_new, f_old
+
+    def _solve_linear(self, A_e, b, g, dt, theta, x0, maxiter):
+        """Constrain, precondition and solve one linear system."""
+        cfg = self.cfg
+        fe = self.fe
+        mask = self.dirichlet.mask
+        b_hat = operators.constrained_rhs(fe, A_e, b, mask, g)
+        apply_a = operators.make_constrained_operator(fe, A_e, mask)
+        precond = preconditioners.make_cahouet_chabard(
+            fe, self.pressure_ops, A_e, mask,
+            dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
+            vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
+        )
+        res = gmres.fgmres(
+            apply_a, b_hat, precond=precond, x0=x0,
+            restart=cfg.gmres_restart, maxiter=maxiter, rtol=cfg.gmres_rtol,
+        )
+        return res
+
+    # --- linearized (Oseen) path --------------------------------------
+    def _linearized_advance(self, state: State, t_new):
+        cfg = self.cfg
+        fe = self.fe
+        theta0 = jnp.asarray(cfg.theta, self.dtype)
+        theta_eff = jnp.where(
+            state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
+            jnp.asarray(1.0, self.dtype),
+            theta0,
+        )
+        g = self.dirichlet.values(cfg.inlet_profile, t_new)
+        u_old, _ = fe.split(state.x_old)
+        u_oo, _ = fe.split(state.x_old_old)
+        is_be = cfg.time_scheme == TimeScheme.BACKWARD_EULER
+        x_start = state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
+
+        def attempt(dt_att, force_be):
+            th = jnp.where(force_be, jnp.asarray(1.0, self.dtype), theta_eff)
+            first_order = state.first_step | state.second_step | force_be | is_be
+            u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
+            params = assembly.StepParams(
+                dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
+                rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+            )
+            f_new, f_old = self._forcing_at(t_new, dt_att)
+            A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
+            b = operators.scatter_add(fe, b_e)
+            res = self._solve_linear(A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
+            return res.x, res.converged, res.iterations
+
+        dt0 = jnp.asarray(self.dt0, self.dtype)
+
+        def ladder_cond(c):
+            substep, ok, _, _, _ = c
+            return (~ok) & (substep <= cfg.max_substeps)
+
+        def ladder_body(c):
+            substep, _, x, its, _ = c
+            dt_att = dt0 * (0.5 ** substep.astype(self.dtype))
+            x1, ok1, it1 = attempt(dt_att, jnp.asarray(False))
+
+            # First failure on the nominal dt: BE + first-order fallback
+            # (reference: cpp:1241-1252).
+            def be_fallback(_):
+                xb, okb, itb = attempt(dt_att, jnp.asarray(True))
+                return xb, okb, it1 + itb
+
+            x1, ok1, it1 = jax.lax.cond(
+                (~ok1) & (substep == 0), be_fallback, lambda _: (x1, ok1, it1), None
+            )
+            return substep + 1, ok1, x1, its + it1, dt_att
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.zeros_like(state.x_old),
+            jnp.asarray(0, jnp.int32),
+            dt0,
+        )
+        substep, ok, x_new, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
+
+        # All attempts failed: restore checkpoint, force BE, accept the
+        # result whatever it is (reference: cpp:1267-1286).
+        def forced(_):
+            xf, okf, itf = attempt(dt_att, jnp.asarray(True))
+            return xf, itf
+
+        def keep(_):
+            return x_new, jnp.asarray(0, jnp.int32)
+
+        x_final, extra_its = jax.lax.cond(~ok, forced, keep, None)
+        return x_final, ok, its + extra_its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
+
+    # --- Newton path ----------------------------------------------------
+    def _newton_advance(self, state: State, t_new):
+        cfg = self.cfg
+        fe = self.fe
+        mask = self.dirichlet.mask
+        theta_eff = jnp.where(
+            state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
+            jnp.asarray(1.0, self.dtype),
+            jnp.asarray(cfg.theta, self.dtype),
+        )
+        dt0 = jnp.asarray(self.dt0, self.dtype)
+        g = self.dirichlet.values(cfg.inlet_profile, t_new)
+        u_old, _ = fe.split(state.x_old)
+        params = assembly.StepParams(
+            dt=dt0, theta=theta_eff, nu=jnp.asarray(self.nu, self.dtype),
+            rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+        f_new, f_old = self._forcing_at(t_new, dt0)
+
+        def residual_system(x):
+            u, p = fe.split(x)
+            A_e, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
+            b = operators.scatter_add(fe, b_e)
+            # Homogeneous constraints on the update (g = 0): rhs rows zeroed.
+            b_hat = jnp.where(mask, 0.0, b)
+            return A_e, b_hat
+
+        # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
+        x0 = jnp.where(mask, g, state.x_old)
+
+        big = jnp.asarray(1e10, self.dtype)
+        tol = cfg.newton_tolerance
+
+        def cond(c):
+            x, res, prev, damping, it, tg, done = c
+            return (~done) & (it < cfg.newton_max_iterations)
+
+        def body(c):
+            x, res_in, prev, damping, it, tg, _ = c
+            A_e, b_hat = residual_system(x)
+            res = jnp.linalg.norm(b_hat)
+            done = res < tol
+
+            def do_update(_):
+                # Adaptive damping (cpp:1163-1169).
+                d1 = jnp.where(
+                    (it > 0) & (res > 0.99 * prev),
+                    jnp.maximum(0.05, damping * 0.5),
+                    damping,
+                )
+                d1 = jnp.where(
+                    (res < 0.5 * prev) & (d1 < 1.0 - 1e-12),
+                    jnp.minimum(1.0, d1 * 1.5),
+                    d1,
+                )
+                sol = self._solve_linear(
+                    A_e, b_hat + 0.0, g * 0.0, dt0, theta_eff,
+                    jnp.zeros_like(x), cfg.gmres_maxiter_newton,
+                )
+                lin_ok = sol.converged
+                d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
+                x_new = x + d2 * sol.x
+
+                # Backtracking on linear failure (cpp:1188-1198).
+                def backtrack(_):
+                    _, b2 = residual_system(x_new)
+                    new_res = jnp.linalg.norm(b2)
+                    bad = new_res > 2.0 * res
+                    d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
+                    x_bt = jnp.where(bad, x + d3 * sol.x, x_new)
+                    return x_bt, d3
+
+                x_new, d_out = jax.lax.cond(~lin_ok, backtrack, lambda _: (x_new, d2), None)
+                return x_new, d_out, sol.iterations
+
+            def no_update(_):
+                return x, damping, jnp.asarray(0, jnp.int32)
+
+            x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
+            return x_out, res, res, d_out, it + jnp.where(done, 0, 1), tg + g_its, done
+
+        init = (x0, big, big, jnp.asarray(1.0, self.dtype), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        x, res, _, _, iters, total_gmres, done = jax.lax.while_loop(cond, body, init)
+        return x, done, total_gmres, dt0, iters, res
+
+    # ------------------------------------------------------------------
+    def _step(self, state: State) -> tuple[State, StepMetrics]:
+        cfg = self.cfg
+        fe = self.fe
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+
+        if cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            x_new, ok, gmres_its, dt_used, newton_its, resid = self._newton_advance(state, t_new)
+        else:
+            x_new, ok, gmres_its, dt_used, newton_its, resid = self._linearized_advance(state, t_new)
+
+        u, p = fe.split(x_new)
+        cd, cl = functionals.lift_drag(
+            fe, self.force_tables, u, p, nu=self.nu, rho=cfg.rho, U_m=cfg.U_m
+        )
+        dp = functionals.pressure_difference(fe, self.probe_tables, p)
+
+        new_state = State(
+            x_old=x_new,
+            x_old_old=state.x_old,
+            time=t_new,
+            step=state.step + 1,
+            first_step=jnp.asarray(False),
+            second_step=state.first_step,
+        )
+        metrics = StepMetrics(
+            time=t_new, drag=cd, lift=cl, delta_p=dp,
+            gmres_iters=gmres_its, newton_iters=newton_its,
+            converged=ok, residual=resid, dt_used=dt_used,
+        )
+        return new_state, metrics
+
+    def step(self, state: State) -> tuple[State, StepMetrics]:
+        """One jitted time step."""
+        return self._step_jit(state)
+
+    # ------------------------------------------------------------------
+    def n_steps(self) -> int:
+        return int(round(self.cfg.T / self.dt0))
+
+    def run(
+        self,
+        n_steps: Optional[int] = None,
+        state: Optional[State] = None,
+        on_step: Optional[Callable] = None,
+        logger=None,
+    ):
+        """Python-loop driver (per-step host I/O), mirroring run() cpp:1044."""
+        state = state if state is not None else self.initial_state()
+        n = n_steps if n_steps is not None else self.n_steps()
+        history = []
+        for _ in range(n):
+            t0 = _time.perf_counter()
+            state, m = self.step(state)
+            jax.block_until_ready(m.drag)
+            wall = _time.perf_counter() - t0
+            rec = {
+                "step": int(state.step),
+                "time": float(m.time),
+                "Cd": float(m.drag),
+                "Cl": float(m.lift),
+                "DeltaP": float(m.delta_p),
+                "gmres_iters": int(m.gmres_iters),
+                "newton_iters": int(m.newton_iters),
+                "converged": bool(m.converged),
+                "wall": wall,
+            }
+            history.append(rec)
+            if logger is not None:
+                logger.log_step(rec)
+            if on_step is not None:
+                on_step(state, rec)
+        return state, history
+
+    def run_scan(self, n_steps: int, state: Optional[State] = None):
+        """lax.scan time loop — the benchmark path (no host round trips)."""
+        state = state if state is not None else self.initial_state()
+
+        def body(s, _):
+            s2, m = self._step(s)
+            return s2, m
+
+        @jax.jit
+        def loop(s):
+            return jax.lax.scan(body, s, None, length=n_steps)
+
+        final_state, metrics = loop(state)
+        return final_state, metrics

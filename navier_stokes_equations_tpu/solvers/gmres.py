@@ -127,7 +127,7 @@ def fgmres(
             res = jnp.abs(g[k + 1])
             return V, Z, R, cs, sn, g, k + 1, it + 1, res
 
-        init = (V, Z, R, cs, sn, g, jnp.asarray(0), total_it, beta)
+        init = (V, Z, R, cs, sn, g, jnp.asarray(0, jnp.int32), total_it, beta)
         V, Z, R, cs, sn, g, k, total_it, res = jax.lax.while_loop(inner_cond, inner_body, init)
 
         # Back-substitution on the k x k leading system (padded with identity).
@@ -146,7 +146,7 @@ def fgmres(
     x, total_it, res, conv = jax.lax.while_loop(
         outer_cond,
         restart_body,
-        (x, jnp.asarray(0), jnp.asarray(jnp.inf, dtype), jnp.asarray(False)),
+        (x, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype), jnp.asarray(False)),
     )
 
     x = jnp.where(trivial, jnp.zeros_like(b), x)

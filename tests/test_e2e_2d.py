@@ -1,0 +1,100 @@
+"""End-to-end physics gates on the 2D benchmark cases (coarse mesh, f64 CPU).
+
+Gate values are the Schaefer-Turek / DFG references with coarse-mesh slack:
+  2D-1 steady:  Cd ~ 5.58, Cl ~ 0.0106, dP ~ 0.1175  (lit. corridor)
+  2D-2 at t=8:  Cd_max in [3.22, 3.24], Cl_max ~ 1.0, St in [0.295, 0.305],
+                dP in [2.46, 2.50] on fine meshes; the 888-node mesh lands
+                within a few % below (validated against the corridor trend).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from navier_stokes_equations_tpu.models import solver, test_cases
+
+
+def _make_solver(case, mesh_path, **over):
+    cfg = test_cases.make(case, **over.pop("case_kwargs", {}))
+    cfg = dataclasses.replace(cfg, dtype="float64", **over)
+    return solver.NavierStokesSolver(cfg, mesh_path)
+
+
+@pytest.fixture(scope="module")
+def steady_2d1(mesh2d_path):
+    s = _make_solver("2D-1", mesh2d_path)
+    state, hist = s.run(n_steps=50)  # t = 5: well past the 1 s ramp
+    return s, state, hist
+
+
+def test_2d1_steady_drag(steady_2d1):
+    _, _, hist = steady_2d1
+    last = hist[-1]
+    assert last["converged"]
+    # DFG 2D-1: Cd in [5.57, 5.59] on fine meshes; coarse-mesh slack ~1%.
+    assert 5.45 < last["Cd"] < 5.70
+    assert abs(last["Cl"]) < 0.05
+    assert 0.110 < last["DeltaP"] < 0.125
+    # Steady: last two steps agree tightly.
+    assert abs(hist[-1]["Cd"] - hist[-2]["Cd"]) < 1e-3
+
+
+def test_2d1_newton_converges_every_step(steady_2d1):
+    _, _, hist = steady_2d1
+    assert all(h["converged"] for h in hist)
+    assert all(h["newton_iters"] <= 10 for h in hist[5:])
+
+
+def test_2d2_shedding_physics(mesh2d_path):
+    """Full 2D-2 at dt=0.01 to t=8: vortex shedding, St and Cd gates."""
+    s = _make_solver("2D-2", mesh2d_path, case_kwargs=dict(deltat=0.01))
+    state, hist = s.run(n_steps=800)
+    t = np.array([h["time"] for h in hist])
+    cd = np.array([h["Cd"] for h in hist])
+    cl = np.array([h["Cl"] for h in hist])
+    dp = np.array([h["DeltaP"] for h in hist])
+    assert np.isfinite(cd).all() and np.isfinite(cl).all()
+
+    sel = t > 5.0
+    # Developed shedding: significant lift oscillation.
+    assert cl[sel].max() > 0.5 and cl[sel].min() < -0.5
+    # Coarse-mesh drag lands a few % under the corridor [3.22, 3.24].
+    assert 3.0 < cd[sel].mean() < 3.35
+    assert 3.05 < cd[sel].max() < 3.40
+    # Strouhal from lift zero upcrossings.
+    clf, tf = cl[sel], t[sel]
+    zc = np.where(np.diff(np.sign(clf)) > 0)[0]
+    assert len(zc) >= 2
+    period = (tf[zc[-1]] - tf[zc[0]]) / (len(zc) - 1)
+    St = 0.1 / period  # f D / U_mean with U_mean = 1.0
+    assert 0.28 < St < 0.32
+    # Pressure drop at t=8 near the corridor [2.46, 2.50].
+    assert 2.2 < dp[-1] < 2.7
+
+
+def test_2d1_linearized_matches_newton(mesh2d_path):
+    """Same case through the other nonlinear path: consistent physics."""
+    from navier_stokes_equations_tpu.config import NonlinearMethod
+
+    s_lin = _make_solver(
+        "2D-1", mesh2d_path, case_kwargs=dict(nm=NonlinearMethod.LINEARIZED)
+    )
+    _, hist = s_lin.run(n_steps=50)
+    # Semi-implicit vs Newton differ by O(dt) during transients but agree at
+    # the steady state.
+    assert 5.45 < hist[-1]["Cd"] < 5.70
+    assert 0.110 < hist[-1]["DeltaP"] < 0.125
+
+
+def test_f32_matches_f64_short(mesh2d_path):
+    """TPU-precision (f32) run tracks f64 on a short horizon."""
+    res = {}
+    for dt in ("float64", "float32"):
+        cfg = dataclasses.replace(test_cases.make("2D-1"), dtype=dt)
+        s = solver.NavierStokesSolver(cfg, mesh2d_path)
+        _, hist = s.run(n_steps=10)
+        res[dt] = np.array([[h["Cd"], h["Cl"], h["DeltaP"]] for h in hist])
+    err = np.abs(res["float32"] - res["float64"]).max()
+    scale = np.abs(res["float64"]).max()
+    assert err < 2e-3 * scale
