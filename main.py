@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""CLI entry point for the TPU-native Navier-Stokes engine.
+
+Replaces the reference's compile-time test selection (reference:
+src/main.cpp:13-22, where cases are chosen by commenting lines and
+recompiling) with runtime flags.  Produces the same artifacts: console log,
+``forces.txt``, and per-interval VTU/PVD output — plus checkpoints.
+
+Examples:
+  python main.py --case 2D-2 --mesh /root/reference/meshes/mesh-2D.msh --deltat 0.01
+  python main.py --case 3D-2Z --mesh meshes/mesh-3D-5.msh --vtu-every 25
+  python main.py --case 2D-1 --steps 50 --dtype float64 --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--case", default="2D-2", help="test case: 2D-1, 2D-2, 2D-3, 3D-1Z, 3D-2Z, 3D-3Z")
+    p.add_argument("--mesh", default="/root/reference/meshes/mesh-2D.msh", help=".msh path or generated-mesh spec (see --gen-*)")
+    p.add_argument("--deltat", type=float, default=-1.0, help="time step (<=0: Re-based default)")
+    p.add_argument("--T", type=float, default=None, help="final time override")
+    p.add_argument("--steps", type=int, default=None, help="run exactly N steps instead of T/dt")
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--platform", default=None, help="force jax platform (cpu, tpu)")
+    p.add_argument("--output-dir", default=".", help="where forces.txt / VTU / checkpoints go")
+    p.add_argument("--vtu-every", type=int, default=0, help="write VTU every N steps (0 = off)")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="write checkpoint every N steps (0 = off)")
+    p.add_argument("--resume", default=None, help="resume from checkpoint file")
+    p.add_argument("--rtol", type=float, default=None, help="GMRES stopping tolerance override")
+    p.add_argument("--no-warm-start", action="store_true", help="zero GMRES initial guess (reference behavior)")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        os.environ.setdefault("JAX_PLATFORMS", args.platform)
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from navier_stokes_equations_tpu.models import solver, test_cases
+    from navier_stokes_equations_tpu.utils import checkpoint as ckpt
+    from navier_stokes_equations_tpu.utils import logging as nslog
+    from navier_stokes_equations_tpu.utils import vtu
+
+    cfg = test_cases.make(args.case, deltat=args.deltat)
+    over = {"dtype": args.dtype}
+    if args.T is not None:
+        over["T"] = args.T
+    if args.rtol is not None:
+        over["gmres_rtol"] = args.rtol
+    if args.no_warm_start:
+        over["gmres_warm_start"] = False
+    cfg = dataclasses.replace(cfg, **over)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    s = solver.NavierStokesSolver(cfg, args.mesh)
+
+    logger = nslog.RunLogger(
+        forces_path=os.path.join(args.output_dir, "forces.txt"),
+        verbose=not args.quiet,
+    )
+    logger.log_setup(s)
+
+    if args.resume:
+        state, _ = ckpt.load(args.resume, dtype=s.dtype)
+        print(f"Resumed from {args.resume} at step {int(state.step)}, t={float(state.time):g}")
+    else:
+        state = s.initial_state()
+
+    pvd_entries = []
+
+    def on_step(st, rec):
+        step = rec["step"]
+        if args.vtu_every and step % args.vtu_every == 0:
+            import numpy as np
+
+            u, p = s.fe.split(st.x_old)
+            name = f"solution_{step:06d}.vtu"
+            vtu.write_vtu(os.path.join(args.output_dir, name), s.mesh, np.asarray(u), np.asarray(p))
+            pvd_entries.append((rec["time"], name))
+            vtu.write_pvd(os.path.join(args.output_dir, "solution.pvd"), pvd_entries)
+        if args.checkpoint_every and step % args.checkpoint_every == 0:
+            ckpt.save(os.path.join(args.output_dir, "checkpoint.npz"), st)
+
+    n = args.steps if args.steps is not None else max(0, s.n_steps() - int(state.step))
+    state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+    logger.close()
+    if not args.quiet:
+        print("===============================================")
+        print("Simulation complete.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
