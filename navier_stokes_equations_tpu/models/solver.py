@@ -358,6 +358,9 @@ class NavierStokesSolver:
     ):
         """Python-loop driver (per-step host I/O), mirroring run() cpp:1044."""
         state = state if state is not None else self.initial_state()
+        # The jitted step donates its input buffers; copy once so the
+        # caller's state object stays valid after this run.
+        state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         n = n_steps if n_steps is not None else self.n_steps()
         history = []
         for _ in range(n):
