@@ -149,27 +149,39 @@ def _fix_orientation(vertices: np.ndarray, cells: np.ndarray) -> np.ndarray:
     return cells
 
 
-def _geometric_boundary_role(dim: int, face_centroids: np.ndarray, tol: float = 1e-6) -> np.ndarray:
+def _geometric_boundary_role(dim: int, face_verts: np.ndarray, tol: float = 1e-6) -> np.ndarray:
     """Classify boundary faces by geometry — the reference's repair fallback
     (reference: src/classes/NavierStokes.cpp:107-195).
 
     2D channel: [0, 2.2] x [0, 0.41], cylinder r=0.05 at (0.2, 0.2).
     3D channel: [0, 0.41]^2 x [0, 2.5] (flow along z), cylinder axis along x
     at (y, z) = (0.2, 0.45)  (reference: meshes/mesh-3D-5.geo:9-15).
+
+    ``face_verts``: (nf, dim, dim) vertex coordinates of each face.  Planar
+    boundaries require *every* vertex on the plane, so that wall faces that
+    merely pass near the cylinder axis are not misclassified; the cylinder
+    test uses the centroid radius (chord centroids lie slightly inside).
     Returns integer roles: 0 inlet, 1 outlet, 2 wall, 3 cylinder.
     """
-    c = face_centroids
-    roles = np.full(len(c), 2, np.int32)
+    v = face_verts
+    c = v.mean(axis=1)
+    roles = np.full(len(c), -1, np.int32)
+
+    def on_plane(axis, value):
+        return np.abs(v[:, :, axis] - value).max(axis=1) < tol
+
     if dim == 2:
-        roles[np.abs(c[:, 0] - 0.0) < tol] = 0
-        roles[np.abs(c[:, 0] - 2.2) < tol] = 1
-        r = np.hypot(c[:, 0] - 0.2, c[:, 1] - 0.2)
-        roles[r < 0.075] = 3
+        roles[np.hypot(c[:, 0] - 0.2, c[:, 1] - 0.2) < 0.075] = 3
+        roles[(roles < 0) & (on_plane(1, 0.0) | on_plane(1, 0.41))] = 2
+        roles[(roles < 0) & on_plane(0, 0.0)] = 0
+        roles[(roles < 0) & on_plane(0, 2.2)] = 1
     else:
-        roles[np.abs(c[:, 2] - 0.0) < tol] = 0
-        roles[np.abs(c[:, 2] - 2.5) < tol] = 1
-        r = np.hypot(c[:, 1] - 0.2, c[:, 2] - 0.45)
-        roles[r < 0.075] = 3
+        wall = on_plane(0, 0.0) | on_plane(0, 0.41) | on_plane(1, 0.0) | on_plane(1, 0.41)
+        roles[wall] = 2
+        roles[(roles < 0) & on_plane(2, 0.0)] = 0
+        roles[(roles < 0) & on_plane(2, 2.5)] = 1
+        roles[(roles < 0) & (np.hypot(c[:, 1] - 0.2, c[:, 2] - 0.45) < 0.075)] = 3
+    roles[roles < 0] = 2
     return roles
 
 
@@ -271,8 +283,7 @@ def _build_boundary(dim, vertices, cells, elems_p2, jinv, bfaces, btags, physica
         bfaces = np.array(only, np.int32)
         btags = np.zeros(len(bfaces), np.int32)
 
-    centroids = vertices[bfaces].mean(axis=1)
-    geo_roles = _geometric_boundary_role(dim, centroids)
+    geo_roles = _geometric_boundary_role(dim, vertices[bfaces])
 
     resolved = np.empty(len(bfaces), np.int32)
     for i, t in enumerate(btags):
