@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 2D-2 (DFG unsteady Re=100) time-steps/sec on one chip.
+
+Baseline: the reference deal.II/Trilinos/MPI solver runs 2D-2 at ~3.2 s per
+dt=0.01 step (~0.31 steps/s) on a 6-core Ryzen 7600X (BASELINE.md, report
+PDF section 5.2).  This script times the same physics — CN + Oseen, FGMRES +
+Cahouet-Chabard, drag/lift/dp every step — on the finest committed mesh
+(mesh-2D-100, 17,993 vertices; falls back to a generated equivalent), in the
+developed-flow regime (warmup past the inlet ramp), using the scan-driven
+step loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 0.31  # reference 2D-2, 4-rank MPI CPU (BASELINE.md)
+
+
+def main():
+    import jax
+
+    from navier_stokes_equations_tpu.mesh import generators, taylor_hood
+    from navier_stokes_equations_tpu.models import solver, test_cases
+
+    mesh_path = "/root/reference/meshes/mesh-2D-100.msh"
+    if os.path.exists(mesh_path):
+        mesh = taylor_hood.load(mesh_path)
+        mesh_name = "mesh-2D-100"
+    else:
+        mesh = taylor_hood.build(generators.channel_cylinder_2d(0.03, 0.002))
+        mesh_name = "generated-2D-100-equivalent"
+
+    cfg = dataclasses.replace(test_cases.make("2D-2", deltat=0.01), dtype="float32")
+    s = solver.NavierStokesSolver(cfg, mesh)
+
+    warmup_steps = int(os.environ.get("BENCH_WARMUP_STEPS", "120"))
+    timed_steps = int(os.environ.get("BENCH_TIMED_STEPS", "100"))
+
+    # Warm up into the developed-flow regime (past the 2 s inlet ramp the
+    # solver works hardest; timing the quiescent start would flatter us).
+    state = s.initial_state()
+    state, m = s.run_scan(warmup_steps, state)
+    jax.block_until_ready(state.x_old)
+
+    # Timed section: scan-driven, one device sync at the end.
+    t0 = time.perf_counter()
+    state, metrics = s.run_scan(timed_steps, state)
+    jax.block_until_ready(metrics.drag)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = timed_steps / elapsed
+    result = {
+        "metric": f"2D-2 steps/sec ({mesh_name}, dt=0.01, {jax.devices()[0].platform})",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }
+    # Physics sanity recorded to stderr (not part of the JSON contract).
+    import numpy as np
+
+    cd = np.asarray(metrics.drag)
+    cl = np.asarray(metrics.lift)
+    dp = np.asarray(metrics.delta_p)
+    print(
+        f"# physics: Cd[{cd.min():.3f},{cd.max():.3f}] Cl[{cl.min():.3f},{cl.max():.3f}] "
+        f"dP_last={dp[-1]:.3f} t_end={float(state.time):.2f} "
+        f"mean_gmres={np.asarray(metrics.gmres_iters).mean():.1f} wall={elapsed:.2f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,18 +125,17 @@ class NavierStokesSolver:
         )
 
     # ------------------------------------------------------------------
-    def _forcing_at(self, t, dt_att):
+    def _forcing_at(self, fe, t, dt_att):
         cfg = self.cfg
         if cfg.forcing is None:
             return None, None
-        f_new = cfg.forcing(self.fe.qpoints, t)
-        f_old = cfg.forcing(self.fe.qpoints, t - dt_att)
+        f_new = cfg.forcing(fe.qpoints, t)
+        f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
-    def _solve_linear(self, A_e, b, g, dt, theta, x0, maxiter):
+    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter):
         """Constrain, precondition and solve one linear system."""
         cfg = self.cfg
-        fe = self.fe
         mask = self.dirichlet.mask
         b_hat = operators.constrained_rhs(fe, A_e, b, mask, g)
         apply_a = operators.make_constrained_operator(fe, A_e, mask)
@@ -152,9 +151,8 @@ class NavierStokesSolver:
         return res
 
     # --- linearized (Oseen) path --------------------------------------
-    def _linearized_advance(self, state: State, t_new):
+    def _linearized_advance(self, state: State, t_new, fe):
         cfg = self.cfg
-        fe = self.fe
         theta0 = jnp.asarray(cfg.theta, self.dtype)
         theta_eff = jnp.where(
             state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
@@ -175,10 +173,10 @@ class NavierStokesSolver:
                 dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
                 rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
             )
-            f_new, f_old = self._forcing_at(t_new, dt_att)
+            f_new, f_old = self._forcing_at(fe, t_new, dt_att)
             A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
             b = operators.scatter_add(fe, b_e)
-            res = self._solve_linear(A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
+            res = self._solve_linear(fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
             return res.x, res.converged, res.iterations
 
         dt0 = jnp.asarray(self.dt0, self.dtype)
@@ -225,9 +223,8 @@ class NavierStokesSolver:
         return x_final, ok, its + extra_its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
-    def _newton_advance(self, state: State, t_new):
+    def _newton_advance(self, state: State, t_new, fe):
         cfg = self.cfg
-        fe = self.fe
         mask = self.dirichlet.mask
         theta_eff = jnp.where(
             state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
@@ -241,7 +238,7 @@ class NavierStokesSolver:
             dt=dt0, theta=theta_eff, nu=jnp.asarray(self.nu, self.dtype),
             rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
         )
-        f_new, f_old = self._forcing_at(t_new, dt0)
+        f_new, f_old = self._forcing_at(fe, t_new, dt0)
 
         def residual_system(x):
             u, p = fe.split(x)
@@ -280,7 +277,7 @@ class NavierStokesSolver:
                     d1,
                 )
                 sol = self._solve_linear(
-                    A_e, b_hat + 0.0, g * 0.0, dt0, theta_eff,
+                    fe, A_e, b_hat, g * 0.0, dt0, theta_eff,
                     jnp.zeros_like(x), cfg.gmres_maxiter_newton,
                 )
                 lin_ok = sol.converged
@@ -310,15 +307,16 @@ class NavierStokesSolver:
         return x, done, total_gmres, dt0, iters, res
 
     # ------------------------------------------------------------------
-    def _step(self, state: State) -> tuple[State, StepMetrics]:
+    def _step(self, state: State, fe=None) -> tuple[State, StepMetrics]:
         cfg = self.cfg
-        fe = self.fe
+        if fe is None:
+            fe = self.fe
         t_new = state.time + jnp.asarray(self.dt0, self.dtype)
 
         if cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            x_new, ok, gmres_its, dt_used, newton_its, resid = self._newton_advance(state, t_new)
+            x_new, ok, gmres_its, dt_used, newton_its, resid = self._newton_advance(state, t_new, fe)
         else:
-            x_new, ok, gmres_its, dt_used, newton_its, resid = self._linearized_advance(state, t_new)
+            x_new, ok, gmres_its, dt_used, newton_its, resid = self._linearized_advance(state, t_new, fe)
 
         u, p = fe.split(x_new)
         cd, cl = functionals.lift_drag(
@@ -343,7 +341,7 @@ class NavierStokesSolver:
 
     def step(self, state: State) -> tuple[State, StepMetrics]:
         """One jitted time step."""
-        return self._step_jit(state)
+        return self._step_jit(state, self.fe)
 
     # ------------------------------------------------------------------
     def n_steps(self) -> int:

@@ -55,8 +55,26 @@ class ProbeTables:
 
 
 def build_force_tables(mesh: THMesh, fe: FEArrays, dtype=jnp.float32, bid: int | None = None) -> ForceTables:
-    """Face tables for boundary ``bid`` (default: the cylinder)."""
-    bf = mesh.boundary[th.cylinder_id(mesh.dim) if bid is None else bid]
+    """Face tables for boundary ``bid`` (default: the cylinder).
+
+    A missing boundary (e.g. a plain channel without an obstacle) yields
+    empty tables; the surface integrals then evaluate to zero.
+    """
+    dim = mesh.dim
+    key = th.cylinder_id(dim) if bid is None else bid
+    if key not in mesh.boundary or mesh.boundary[key].num_faces == 0:
+        nq = 1
+        z = lambda *shape: jnp.zeros(shape, dtype)
+        return ForceTables(
+            elem=jnp.zeros((0,), jnp.int32),
+            normals=z(0, dim),
+            jxw=z(0, nq),
+            p2_values=z(0, nq, fe.n2),
+            p2_phys_grads=z(0, nq, fe.n2, dim),
+            p1_values=z(0, nq, fe.n1),
+            dim=dim,
+        )
+    bf = mesh.boundary[key]
     # Physical gradients of the cell P2 basis at the face quadrature points.
     jinv = mesh.jinv[bf.elem]  # (nf, dim, dim)
     gphys = np.einsum("fqak,fkd->fqad", bf.p2_ref_grads, jinv)

@@ -36,12 +36,17 @@ from . import cg
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PressureOperators:
-    """Static pressure-space data (built once; reference: cpp:529-538)."""
+    """Static pressure-space data (built once; reference: cpp:529-538).
 
-    kp_e: Any  # (n_el, n1, n1) regularized pressure Laplacian
-    kp_diag: Any  # (n_p,)
+    The element matrices themselves stay in ``FEArrays`` (element-axis
+    sharded on a device mesh); only the small global pressure-space vectors
+    live here (replicated).
+    """
+
+    kp_diag: Any  # (n_p,) diagonal of the regularized K_p
     mp_lumped: Any  # (n_p,) row-sum lumped mass
     pin_mask: Any  # (n_p,) bool — outlet-pinned dofs
+    eps: float = dataclasses.field(metadata=dict(static=True))
 
 
 def build_pressure_operators(fe: FEArrays, pin_mask, kp_regularization: float = 1e-6) -> PressureOperators:
@@ -54,14 +59,16 @@ def build_pressure_operators(fe: FEArrays, pin_mask, kp_regularization: float = 
     mp_lumped = jnp.zeros((n_p,), kp_e.dtype).at[fe.elems_p1].add(fe.mp_e.sum(axis=2))
     kp_diag = jnp.where(pin_mask, 1.0, kp_diag)
     mp_lumped = jnp.where(pin_mask, 1.0, mp_lumped)
-    return PressureOperators(kp_e=kp_e, kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask)
+    return PressureOperators(
+        kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask, eps=kp_regularization
+    )
 
 
 def apply_kp(fe: FEArrays, pops: PressureOperators, x_p):
-    """K_p x on the pressure space, identity on pinned dofs."""
+    """(K_p + eps M_p) x on the pressure space, identity on pinned dofs."""
     x_free = jnp.where(pops.pin_mask, 0.0, x_p)
     x_e = x_free[fe.elems_p1]
-    y_e = jnp.einsum("ecf,ef->ec", pops.kp_e, x_e)
+    y_e = jnp.einsum("ecf,ef->ec", fe.kp_e + pops.eps * fe.mp_e, x_e)
     y = jnp.zeros_like(x_p).at[fe.elems_p1].add(y_e)
     return jnp.where(pops.pin_mask, x_p, y)
 
