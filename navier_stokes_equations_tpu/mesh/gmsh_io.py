@@ -41,7 +41,49 @@ class RawGmsh:
         return self.cells[dim]
 
 
+def _read_physical_names(path: str) -> dict[int, str]:
+    """Scan only the (tiny) $PhysicalNames section."""
+    names: dict[int, str] = {}
+    with open(path, "r") as f:
+        in_sec = False
+        for line in f:
+            s = line.strip()
+            if s == "$PhysicalNames":
+                in_sec = True
+                continue
+            if s == "$EndPhysicalNames":
+                break
+            if s in ("$Nodes", "$ParametricNodes", "$Elements"):
+                break
+            if in_sec:
+                parts = s.split(maxsplit=2)
+                if len(parts) == 3:
+                    names[int(parts[1])] = parts[2].strip().strip('"')
+    return names
+
+
 def read_msh(path: str) -> RawGmsh:
+    # Native fast path (csrc/libnsmesh.so) when built; bulk node/element
+    # parsing in C++, tiny PhysicalNames section in Python.
+    from . import native
+
+    if native.available():
+        raw = native.read_msh_native(path)
+        if raw is not None:
+            node_ids = raw["node_ids"]
+            id_to_idx = np.full(int(node_ids.max()) + 1, -1, np.int64)
+            id_to_idx[node_ids] = np.arange(len(node_ids))
+            cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for edim, conn_k, tag_k in ((1, "lines", "line_tags"), (2, "tris", "tri_tags"), (3, "tets", "tet_tags")):
+                conn = raw[conn_k]
+                if len(conn):
+                    cells[edim] = (id_to_idx[conn].astype(np.int32), raw[tag_k])
+            return RawGmsh(
+                points=raw["points"],
+                physical_names=_read_physical_names(path),
+                cells=cells,
+            )
+
     with open(path, "r") as f:
         lines = f.read().split("\n")
 

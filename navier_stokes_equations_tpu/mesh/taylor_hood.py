@@ -128,6 +128,13 @@ def _unique_edges(cells: np.ndarray, edges: tuple[tuple[int, int], ...]) -> tupl
     Returns (unique_edges (n_edges, 2) with sorted endpoints,
              elem_edge_index (n_el, n_edges_per_elem) into the unique list).
     """
+    from . import native
+
+    if native.available():
+        res = native.unique_edges_native(cells, edges)
+        if res is not None:
+            return res[0].astype(cells.dtype), res[1]
+
     n_el = len(cells)
     pairs = np.stack([cells[:, [a, b]] for a, b in edges], axis=1)  # (n_el, ne, 2)
     pairs_sorted = np.sort(pairs.reshape(-1, 2), axis=1)
