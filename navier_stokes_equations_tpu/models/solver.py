@@ -181,25 +181,34 @@ class NavierStokesSolver:
 
         dt0 = jnp.asarray(self.dt0, self.dtype)
 
+        # The retry ladder as a flat trial sequence so that exactly ONE
+        # assembled+solved instance exists in the compiled program (the
+        # reference's control flow, cpp:1209-1289, unrolled by trial index):
+        #   k=0: (dt0,      scheme theta)     — the nominal step
+        #   k=1: (dt0,      BE + 1st order)   — fallback on first failure
+        #   k=2..1+max_substeps: (dt0/2^(k-1), scheme theta)  — dt halvings
+        #   k=2+max_substeps: (dt0/2^max_substeps, BE) — forced, accepted
+        #                     whatever comes out.
+        n_trials = cfg.max_substeps + 3
+
+        def trial_params(k):
+            kf = k.astype(self.dtype)
+            halvings = jnp.clip(kf - 1.0, 0.0, float(cfg.max_substeps))
+            dt_att = dt0 * 0.5**halvings
+            force_be = (k == 1) | (k == n_trials - 1)
+            return dt_att, force_be
+
         def ladder_cond(c):
-            substep, ok, _, _, _ = c
-            return (~ok) & (substep <= cfg.max_substeps)
+            k, ok, _, _, _ = c
+            return (~ok) & (k < n_trials)
 
         def ladder_body(c):
-            substep, _, x, its, _ = c
-            dt_att = dt0 * (0.5 ** substep.astype(self.dtype))
-            x1, ok1, it1 = attempt(dt_att, jnp.asarray(False))
-
-            # First failure on the nominal dt: BE + first-order fallback
-            # (reference: cpp:1241-1252).
-            def be_fallback(_):
-                xb, okb, itb = attempt(dt_att, jnp.asarray(True))
-                return xb, okb, it1 + itb
-
-            x1, ok1, it1 = jax.lax.cond(
-                (~ok1) & (substep == 0), be_fallback, lambda _: (x1, ok1, it1), None
-            )
-            return substep + 1, ok1, x1, its + it1, dt_att
+            k, _, x, its, _ = c
+            dt_att, force_be = trial_params(k)
+            x1, ok1, it1 = attempt(dt_att, force_be)
+            # The last (forced-BE) trial is always accepted (cpp:1281-1282).
+            ok1 = ok1 | (k == n_trials - 1)
+            return k + 1, ok1, x1, its + it1, dt_att
 
         init = (
             jnp.asarray(0, jnp.int32),
@@ -208,19 +217,8 @@ class NavierStokesSolver:
             jnp.asarray(0, jnp.int32),
             dt0,
         )
-        substep, ok, x_new, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
-
-        # All attempts failed: restore checkpoint, force BE, accept the
-        # result whatever it is (reference: cpp:1267-1286).
-        def forced(_):
-            xf, okf, itf = attempt(dt_att, jnp.asarray(True))
-            return xf, itf
-
-        def keep(_):
-            return x_new, jnp.asarray(0, jnp.int32)
-
-        x_final, extra_its = jax.lax.cond(~ok, forced, keep, None)
-        return x_final, ok, its + extra_its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
+        k, ok, x_final, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
+        return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
     def _newton_advance(self, state: State, t_new, fe):

@@ -1,0 +1,56 @@
+"""Generate the benchmark meshes natively and write them as gmsh v2.2 files.
+
+Counterpart of the reference's gmsh .geo pipeline (reference: meshes/*.geo,
+README.md:41-55) — the 3D .msh files are not committed upstream
+(.gitignore:44), so this produces them from scratch.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from navier_stokes_equations_tpu.mesh import generators, gmsh_io, taylor_hood
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "meshes")
+
+
+def _boundary_cells(mesh):
+    """Extract tagged boundary faces back from a built THMesh."""
+    faces = []
+    tags = []
+    for bid, bf in mesh.boundary.items():
+        for row in bf.vertex_nodes:
+            faces.append(list(row))
+            tags.append(bid)
+    return np.asarray(faces, np.int32), np.asarray(tags, np.int32)
+
+
+def write(name, raw):
+    mesh = taylor_hood.build(raw)
+    dim = mesh.dim
+    bfaces, btags = _boundary_cells(mesh)
+    cells = {dim - 1: (bfaces, btags), dim: raw.cells_of_dim(dim)}
+    # Re-point volume cells at the compacted vertex set used by the builder.
+    vol, vtags = raw.cells_of_dim(dim)
+    cells[dim] = (mesh.elems_p1, vtags[: mesh.n_el_real])
+    path = os.path.join(OUT, name)
+    pts = mesh.vertices
+    gmsh_io.write_msh(path, pts, cells, raw.physical_names)
+    print(f"{name}: {mesh.n_vertices} nodes, {mesh.n_el_real} cells -> {path}")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    # 2D refinement ladder (analog of mesh-2D / -40 / -100 / -200).
+    write("mesh-2D-gen.msh", generators.channel_cylinder_2d(h_far=0.05, h_cyl=0.005))
+    write("mesh-2D-gen-fine.msh", generators.channel_cylinder_2d(h_far=0.03, h_cyl=0.0025))
+    # 3D ladder (analog of mesh-3D-5 / -10).
+    write("mesh-3D-coarse.msh", generators.channel_cylinder_3d(h_far=0.1, h_cyl=0.03, n_layers=5))
+    write("mesh-3D-medium.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=8))
+
+
+if __name__ == "__main__":
+    main()
