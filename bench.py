@@ -46,12 +46,12 @@ def main():
     # Warm up into the developed-flow regime (past the 2 s inlet ramp the
     # solver works hardest; timing the quiescent start would flatter us).
     state = s.initial_state()
-    state, m = s.run_scan(warmup_steps, state)
+    state, m = s.run_async(warmup_steps, state)
     jax.block_until_ready(state.x_old)
 
     # Timed section: scan-driven, one device sync at the end.
     t0 = time.perf_counter()
-    state, metrics = s.run_scan(timed_steps, state)
+    state, metrics = s.run_async(timed_steps, state)
     jax.block_until_ready(metrics.drag)
     elapsed = time.perf_counter() - t0
 
@@ -63,15 +63,10 @@ def main():
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
     }
     # Physics sanity recorded to stderr (not part of the JSON contract).
-    import numpy as np
-
-    cd = np.asarray(metrics.drag)
-    cl = np.asarray(metrics.lift)
-    dp = np.asarray(metrics.delta_p)
     print(
-        f"# physics: Cd[{cd.min():.3f},{cd.max():.3f}] Cl[{cl.min():.3f},{cl.max():.3f}] "
-        f"dP_last={dp[-1]:.3f} t_end={float(state.time):.2f} "
-        f"mean_gmres={np.asarray(metrics.gmres_iters).mean():.1f} wall={elapsed:.2f}s",
+        f"# physics: Cd_last={float(metrics.drag):.3f} Cl_last={float(metrics.lift):.3f} "
+        f"dP_last={float(metrics.delta_p):.3f} t_end={float(state.time):.2f} "
+        f"gmres_last={int(metrics.gmres_iters)} wall={elapsed:.2f}s",
         file=sys.stderr,
     )
     print(json.dumps(result))

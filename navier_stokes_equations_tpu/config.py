@@ -87,6 +87,9 @@ class SolverConfig:
     # reproduces the DFG shedding (St=0.294 on the coarse mesh) while 1e-2 +
     # warm start locks onto a spurious steady state.
     gmres_rtol: float = 1e-4
+    # Newton's inner linear solves stay at the reference's loose tolerance
+    # (inexact Newton: the outer iteration controls accuracy, cpp:545).
+    gmres_rtol_newton: float = 1e-2
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
     max_substeps: int = 4  # dt-halving retries (reference: NavierStokes.cpp:1211)
@@ -96,9 +99,15 @@ class SolverConfig:
     gmres_warm_start: bool = True
 
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
-    precond_vel_sweeps: int = 2  # Chebyshev/Jacobi sweeps on the velocity block
+    precond_vel_method: str = "chebyshev"  # "chebyshev" | "jacobi"
+    precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
+    precond_vel_sweeps: int = 2  # Jacobi sweeps when vel_method="jacobi"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)
+    # Pressure spaces up to this size use a precomputed dense K_p^{-1}
+    # (one MXU matmul per preconditioner application instead of a CG chain —
+    # a TPU latency optimization for small meshes).
+    precond_schur_dense_max: int = 3000
 
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"

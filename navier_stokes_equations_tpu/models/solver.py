@@ -91,7 +91,8 @@ class NavierStokesSolver:
         self.dirichlet = dirichlet.build_dirichlet(mesh, self.fe, dtype=dtype)
         pin = dirichlet.pressure_pin_mask(mesh, self.fe)
         self.pressure_ops = preconditioners.build_pressure_operators(
-            self.fe, pin, kp_regularization=cfg.kp_regularization
+            self.fe, pin, kp_regularization=cfg.kp_regularization,
+            dense_max=cfg.precond_schur_dense_max,
         )
         self.force_tables = functionals.build_force_tables(mesh, self.fe, dtype)
         self.probe_tables = functionals.build_probe_tables(mesh)
@@ -133,7 +134,7 @@ class NavierStokesSolver:
         f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
-    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter):
+    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter, rtol=None):
         """Constrain, precondition and solve one linear system."""
         cfg = self.cfg
         mask = self.dirichlet.mask
@@ -143,10 +144,12 @@ class NavierStokesSolver:
             fe, self.pressure_ops, A_e, mask,
             dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
             vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
+            vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
-            restart=cfg.gmres_restart, maxiter=maxiter, rtol=cfg.gmres_rtol,
+            restart=cfg.gmres_restart, maxiter=maxiter,
+            rtol=cfg.gmres_rtol if rtol is None else rtol,
         )
         return res
 
@@ -199,25 +202,27 @@ class NavierStokesSolver:
             return dt_att, force_be
 
         def ladder_cond(c):
-            k, ok, _, _, _ = c
-            return (~ok) & (k < n_trials)
+            k, accepted, _, _, _, _ = c
+            return (~accepted) & (k < n_trials)
 
         def ladder_body(c):
-            k, _, x, its, _ = c
+            k, _, _, x, its, _ = c
             dt_att, force_be = trial_params(k)
             x1, ok1, it1 = attempt(dt_att, force_be)
-            # The last (forced-BE) trial is always accepted (cpp:1281-1282).
-            ok1 = ok1 | (k == n_trials - 1)
-            return k + 1, ok1, x1, its + it1, dt_att
+            # The last (forced-BE) trial is always accepted (cpp:1281-1282),
+            # but the reported convergence flag stays truthful.
+            accepted = ok1 | (k == n_trials - 1)
+            return k + 1, accepted, ok1, x1, its + it1, dt_att
 
         init = (
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
             jnp.asarray(False),
             jnp.zeros_like(state.x_old),
             jnp.asarray(0, jnp.int32),
             dt0,
         )
-        k, ok, x_final, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
+        k, _, ok, x_final, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
         return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
@@ -277,6 +282,7 @@ class NavierStokesSolver:
                 sol = self._solve_linear(
                     fe, A_e, b_hat, g * 0.0, dt0, theta_eff,
                     jnp.zeros_like(x), cfg.gmres_maxiter_newton,
+                    rtol=cfg.gmres_rtol_newton,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
@@ -382,12 +388,31 @@ class NavierStokesSolver:
                 on_step(state, rec)
         return state, history
 
+    def run_async(self, n_steps: int, state: Optional[State] = None):
+        """Dispatch n jitted steps without host synchronization.
+
+        The benchmark path: the Python loop only enqueues async device work
+        (each step is one compiled program); the caller syncs once at the
+        end.  Returns (final_state, metrics_of_last_step).
+        """
+        state = state if state is not None else self.initial_state()
+        state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
+        m = None
+        for _ in range(n_steps):
+            state, m = self._step_jit(state, self.fe)
+        return state, m
+
     def run_scan(self, n_steps: int, state: Optional[State] = None):
-        """lax.scan time loop — the benchmark path (no host round trips)."""
+        """lax.scan time loop (single compiled program for the whole run).
+
+        NOTE: some TPU toolchains compile scan-of-large-bodies very slowly;
+        ``run_async`` gives the same throughput via async dispatch and
+        compiles the step only once.
+        """
         state = state if state is not None else self.initial_state()
 
         def body(s, _):
-            s2, m = self._step(s)
+            s2, m = self._step(s, self.fe)
             return s2, m
 
         @jax.jit

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..ops import operators
 from ..ops.fe_arrays import FEArrays
-from . import cg
+from . import cg, chebyshev
 
 
 @jax.tree_util.register_dataclass
@@ -46,10 +46,14 @@ class PressureOperators:
     kp_diag: Any  # (n_p,) diagonal of the regularized K_p
     mp_lumped: Any  # (n_p,) row-sum lumped mass
     pin_mask: Any  # (n_p,) bool — outlet-pinned dofs
+    kp_inv: Any  # (n_p, n_p) dense inverse, or () when using CG
     eps: float = dataclasses.field(metadata=dict(static=True))
+    dense: bool = dataclasses.field(metadata=dict(static=True))
 
 
-def build_pressure_operators(fe: FEArrays, pin_mask, kp_regularization: float = 1e-6) -> PressureOperators:
+def build_pressure_operators(
+    fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0
+) -> PressureOperators:
     kp_e = fe.kp_e + kp_regularization * fe.mp_e
     # Diagonal and lumped mass via scatter-add over pressure connectivity.
     n_p = fe.n_p
@@ -59,8 +63,30 @@ def build_pressure_operators(fe: FEArrays, pin_mask, kp_regularization: float = 
     mp_lumped = jnp.zeros((n_p,), kp_e.dtype).at[fe.elems_p1].add(fe.mp_e.sum(axis=2))
     kp_diag = jnp.where(pin_mask, 1.0, kp_diag)
     mp_lumped = jnp.where(pin_mask, 1.0, mp_lumped)
+
+    # Small pressure spaces: precompute the exact dense inverse of the
+    # (pinned, regularized) Laplacian once — each preconditioner application
+    # is then a single MXU matmul instead of a chain of CG kernels.  This is
+    # a latency optimization for TPUs; large meshes use Jacobi-CG.
+    dense = 0 < fe.n_p <= dense_max
+    kp_inv = jnp.zeros(())
+    if dense:
+        import numpy as np
+
+        K = np.zeros((fe.n_p, fe.n_p))
+        ep = np.asarray(fe.elems_p1)
+        ke = np.asarray(kp_e, np.float64)
+        for e in range(fe.n_el):
+            K[np.ix_(ep[e], ep[e])] += ke[e]
+        pin = np.asarray(pin_mask)
+        K[pin, :] = 0.0
+        K[:, pin] = 0.0
+        K[pin, pin] = 1.0
+        kp_inv = jnp.asarray(np.linalg.inv(K), kp_diag.dtype)
+
     return PressureOperators(
-        kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask, eps=kp_regularization
+        kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask,
+        kp_inv=kp_inv, eps=kp_regularization, dense=dense,
     )
 
 
@@ -84,21 +110,36 @@ def make_cahouet_chabard(
     rho,
     vel_sweeps: int = 2,
     kp_iters: int = 30,
+    vel_method: str = "chebyshev",
+    vel_degree: int = 6,
 ) -> Callable:
     """Return precond(r) -> z for the current step's system."""
     diag = operators.extract_diagonal(fe, A_e, mask)
     n_u = fe.n_udofs
 
     kp_apply = lambda x: apply_kp(fe, pops, x)
+    vel_apply = lambda z: operators.velocity_block_apply(fe, A_e, mask, z)
+
+    lmax = None
+    if vel_method == "chebyshev":
+        # Spectrum bound of D^{-1} A_vel, re-estimated for each step's
+        # operator (convection changes it); reduction-light power iteration.
+        probe = jnp.ones((fe.n_dofs,), diag.dtype).at[n_u:].set(0.0)
+        lmax = chebyshev.estimate_lmax(vel_apply, diag, probe, iters=8)
 
     def precond(r):
-        # --- step 1: velocity solve by damped Jacobi sweeps -------------
+        # --- step 1: approximate velocity solve --------------------------
+        # (ILU(1) in the reference, NavierStokes.hpp:301-304; here a
+        # Chebyshev polynomial of the Jacobi-scaled block, or plain sweeps.)
         r_u = r.at[n_u:].set(0.0)
-        z = r_u / diag
-        for _ in range(max(vel_sweeps - 1, 0)):
-            resid = r_u - operators.velocity_block_apply(fe, A_e, mask, z)
-            resid = resid.at[n_u:].set(0.0)
-            z = z + 0.8 * resid / diag
+        if vel_method == "chebyshev":
+            z = chebyshev.chebyshev(vel_apply, r_u, diag, lmax, degree=vel_degree)
+        else:
+            z = r_u / diag
+            for _ in range(max(vel_sweeps - 1, 0)):
+                resid = r_u - vel_apply(z)
+                resid = resid.at[n_u:].set(0.0)
+                z = z + 0.8 * resid / diag
         z_u = z.at[n_u:].set(0.0)
 
         # --- step 2: t = r_p - B z_u ------------------------------------
@@ -106,7 +147,10 @@ def make_cahouet_chabard(
 
         # --- step 3: Cahouet-Chabard Schur action ------------------------
         t_free = jnp.where(pops.pin_mask, 0.0, t)
-        kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
+        if pops.dense:
+            kp_inv_t = pops.kp_inv @ t_free
+        else:
+            kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
         z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
         z_p = jnp.where(pops.pin_mask, t, z_p)
 

@@ -56,9 +56,9 @@ def trace(logdir: str = "/tmp/ns_tpu_trace") -> Iterator[None]:
 def steps_per_second(solver, n_steps: int, state=None, warmup: int = 2) -> float:
     """Throughput of the jitted step loop, one device sync at the end."""
     state = state if state is not None else solver.initial_state()
-    state, m = solver.run_scan(warmup, state)
+    state, m = solver.run_async(warmup, state)
     jax.block_until_ready(state.x_old)
     t0 = time.perf_counter()
-    state, m = solver.run_scan(n_steps, state)
+    state, m = solver.run_async(n_steps, state)
     jax.block_until_ready(m.drag)
     return n_steps / (time.perf_counter() - t0)
