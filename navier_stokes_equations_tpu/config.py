@@ -99,7 +99,7 @@ class SolverConfig:
     gmres_warm_start: bool = True
 
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
-    precond_vel_method: str = "chebyshev"  # "chebyshev" | "jacobi"
+    precond_vel_method: str = "jacobi"  # "chebyshev" | "jacobi"
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
     precond_vel_sweeps: int = 2  # Jacobi sweeps when vel_method="jacobi"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian

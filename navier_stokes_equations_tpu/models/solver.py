@@ -100,6 +100,8 @@ class NavierStokesSolver:
         self.dt0 = cfg.resolved_deltat()
         self.nu = cfg.nu
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+        # No donation: a failed trial re-uses the incoming state.
+        self._attempt_jit = jax.jit(self._attempt_step)
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -154,7 +156,34 @@ class NavierStokesSolver:
         return res
 
     # --- linearized (Oseen) path --------------------------------------
-    def _linearized_advance(self, state: State, t_new, fe):
+    #
+    # The retry ladder (reference: cpp:1209-1289) is expressed as a flat
+    # trial sequence indexed by k:
+    #   k=0: (dt0,      scheme theta)     — the nominal step
+    #   k=1: (dt0,      BE + 1st order)   — fallback on first failure
+    #   k=2..1+max_substeps: (dt0/2^(k-1), scheme theta)  — dt halvings
+    #   k=2+max_substeps: (dt0/2^max_substeps, BE) — forced, accepted
+    #                     whatever comes out.
+    # k is a *traced* scalar, so one compiled "attempt" program serves all
+    # trials.  The (rare) retry control flow runs on the host: jitting the
+    # whole ladder as lax.while_loop(attempt) is supported (used by the scan
+    # path) but triggers TPU compiler faults at large problem sizes, and a
+    # per-step host sync is negligible against a multi-ms step.
+
+    @property
+    def _n_trials(self) -> int:
+        return self.cfg.max_substeps + 3
+
+    def _trial_params(self, k):
+        dt0 = jnp.asarray(self.dt0, self.dtype)
+        kf = k.astype(self.dtype)
+        halvings = jnp.clip(kf - 1.0, 0.0, float(self.cfg.max_substeps))
+        dt_att = dt0 * 0.5**halvings
+        force_be = (k == 1) | (k == self._n_trials - 1)
+        return dt_att, force_be
+
+    def _linearized_attempt(self, state: State, t_new, k, fe):
+        """One ladder trial (k traced): returns (x_new, ok, iters, dt_att)."""
         cfg = self.cfg
         theta0 = jnp.asarray(cfg.theta, self.dtype)
         theta_eff = jnp.where(
@@ -168,38 +197,23 @@ class NavierStokesSolver:
         is_be = cfg.time_scheme == TimeScheme.BACKWARD_EULER
         x_start = state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
 
-        def attempt(dt_att, force_be):
-            th = jnp.where(force_be, jnp.asarray(1.0, self.dtype), theta_eff)
-            first_order = state.first_step | state.second_step | force_be | is_be
-            u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
-            params = assembly.StepParams(
-                dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
-                rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
-            )
-            f_new, f_old = self._forcing_at(fe, t_new, dt_att)
-            A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
-            b = operators.scatter_add(fe, b_e)
-            res = self._solve_linear(fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
-            return res.x, res.converged, res.iterations
+        dt_att, force_be = self._trial_params(k)
+        th = jnp.where(force_be, jnp.asarray(1.0, self.dtype), theta_eff)
+        first_order = state.first_step | state.second_step | force_be | is_be
+        u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
+        params = assembly.StepParams(
+            dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
+            rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+        f_new, f_old = self._forcing_at(fe, t_new, dt_att)
+        A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
+        b = operators.scatter_add(fe, b_e)
+        res = self._solve_linear(fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
+        return res.x, res.converged, res.iterations, dt_att
 
-        dt0 = jnp.asarray(self.dt0, self.dtype)
-
-        # The retry ladder as a flat trial sequence so that exactly ONE
-        # assembled+solved instance exists in the compiled program (the
-        # reference's control flow, cpp:1209-1289, unrolled by trial index):
-        #   k=0: (dt0,      scheme theta)     — the nominal step
-        #   k=1: (dt0,      BE + 1st order)   — fallback on first failure
-        #   k=2..1+max_substeps: (dt0/2^(k-1), scheme theta)  — dt halvings
-        #   k=2+max_substeps: (dt0/2^max_substeps, BE) — forced, accepted
-        #                     whatever comes out.
-        n_trials = cfg.max_substeps + 3
-
-        def trial_params(k):
-            kf = k.astype(self.dtype)
-            halvings = jnp.clip(kf - 1.0, 0.0, float(cfg.max_substeps))
-            dt_att = dt0 * 0.5**halvings
-            force_be = (k == 1) | (k == n_trials - 1)
-            return dt_att, force_be
+    def _linearized_advance(self, state: State, t_new, fe):
+        """Jitted in-graph ladder (used by run_scan / dryrun)."""
+        n_trials = self._n_trials
 
         def ladder_cond(c):
             k, accepted, _, _, _, _ = c
@@ -207,8 +221,7 @@ class NavierStokesSolver:
 
         def ladder_body(c):
             k, _, _, x, its, _ = c
-            dt_att, force_be = trial_params(k)
-            x1, ok1, it1 = attempt(dt_att, force_be)
+            x1, ok1, it1, dt_att = self._linearized_attempt(state, t_new, k, fe)
             # The last (forced-BE) trial is always accepted (cpp:1281-1282),
             # but the reported convergence flag stays truthful.
             accepted = ok1 | (k == n_trials - 1)
@@ -220,7 +233,7 @@ class NavierStokesSolver:
             jnp.asarray(False),
             jnp.zeros_like(state.x_old),
             jnp.asarray(0, jnp.int32),
-            dt0,
+            jnp.asarray(self.dt0, self.dtype),
         )
         k, _, ok, x_final, its, dt_att = jax.lax.while_loop(ladder_cond, ladder_body, init)
         return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
@@ -311,17 +324,9 @@ class NavierStokesSolver:
         return x, done, total_gmres, dt0, iters, res
 
     # ------------------------------------------------------------------
-    def _step(self, state: State, fe=None) -> tuple[State, StepMetrics]:
+    def _finalize(self, state: State, t_new, fe, x_new, ok, gmres_its, dt_used, newton_its, resid):
+        """Functionals + history shift (reference: cpp:1299-1310)."""
         cfg = self.cfg
-        if fe is None:
-            fe = self.fe
-        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
-
-        if cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            x_new, ok, gmres_its, dt_used, newton_its, resid = self._newton_advance(state, t_new, fe)
-        else:
-            x_new, ok, gmres_its, dt_used, newton_its, resid = self._linearized_advance(state, t_new, fe)
-
         u, p = fe.split(x_new)
         cd, cl = functionals.lift_drag(
             fe, self.force_tables, u, p, nu=self.nu, rho=cfg.rho, U_m=cfg.U_m
@@ -343,9 +348,47 @@ class NavierStokesSolver:
         )
         return new_state, metrics
 
+    def _step(self, state: State, fe=None) -> tuple[State, StepMetrics]:
+        """One full time step with the in-graph retry ladder."""
+        cfg = self.cfg
+        if fe is None:
+            fe = self.fe
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+
+        if cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            adv = self._newton_advance(state, t_new, fe)
+        else:
+            adv = self._linearized_advance(state, t_new, fe)
+        return self._finalize(state, t_new, fe, *adv)
+
+    def _attempt_step(self, state: State, k, fe) -> tuple[State, StepMetrics]:
+        """One ladder-trial step (k traced) — the host-ladder unit."""
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        x_new, ok, its, dt_att = self._linearized_attempt(state, t_new, k, fe)
+        return self._finalize(
+            state, t_new, fe, x_new, ok, its, dt_att,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype),
+        )
+
     def step(self, state: State) -> tuple[State, StepMetrics]:
-        """One jitted time step."""
-        return self._step_jit(state, self.fe)
+        """One time step.
+
+        Linearized path: the ladder's retry decisions run on the host (one
+        cheap sync per step) with a single compiled attempt program — large
+        jitted while(solve) programs fault some TPU compilers.  Newton path:
+        fully jitted.
+        """
+        if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            return self._step_jit(state, self.fe)
+        its_total = 0
+        for k in range(self._n_trials):
+            new_state, m = self._attempt_jit(state, jnp.asarray(k, jnp.int32), self.fe)
+            its_total += int(m.gmres_iters)
+            if bool(m.converged) or k == self._n_trials - 1:
+                break
+        if its_total != int(m.gmres_iters):
+            m = dataclasses.replace(m, gmres_iters=jnp.asarray(its_total, jnp.int32))
+        return new_state, m
 
     # ------------------------------------------------------------------
     def n_steps(self) -> int:
@@ -399,7 +442,7 @@ class NavierStokesSolver:
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         m = None
         for _ in range(n_steps):
-            state, m = self._step_jit(state, self.fe)
+            state, m = self.step(state)
         return state, m
 
     def run_scan(self, n_steps: int, state: Optional[State] = None):
