@@ -23,8 +23,23 @@ import time
 BASELINE_STEPS_PER_SEC = 0.31  # reference 2D-2, 4-rank MPI CPU (BASELINE.md)
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first compile of the step program
+    takes minutes on TPU; subsequent runs load from cache in seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ns_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+
 def main():
     import jax
+
+    _enable_compilation_cache()
 
     from navier_stokes_equations_tpu.mesh import generators, taylor_hood
     from navier_stokes_equations_tpu.models import solver, test_cases

@@ -48,6 +48,13 @@ class FEArrays:
     # assembled once; reference: NavierStokes.cpp:468-474, 529-538).
     kp_e: Any  # (n_el, n1, n1) pressure Laplacian (regularized)
     mp_e: Any  # (n_el, n1, n1) pressure mass
+    # Transposed assembly maps: for each global dof, the (padded) positions
+    # of its contributions in the flattened per-element value array.  Turns
+    # every scatter-add into gather+sum — XLA scatters with duplicate
+    # indices serialize on TPU (~100x off roofline), gathers vectorize.
+    # Padding entries point one past the end (a zero sentinel slot).
+    dof_gather: Any  # (n_dofs, max_elems_per_dof) int32 into (n_el*nd,)
+    p_gather: Any  # (n_p, max_elems_per_vertex) int32 into (n_el*n1,)
 
     # --- static metadata ------------------------------------------------
     dim: int = dataclasses.field(metadata=dict(static=True))
@@ -57,6 +64,9 @@ class FEArrays:
     n1: int = dataclasses.field(metadata=dict(static=True))
     n_vnodes: int = dataclasses.field(metadata=dict(static=True))
     n_p: int = dataclasses.field(metadata=dict(static=True))
+    # False on sharded meshes: the transpose maps index across all elements
+    # (local to one chip), so SPMD execution uses scatter-add + all-reduce.
+    use_gather_scatter: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
     @property
     def nd(self) -> int:
@@ -97,6 +107,22 @@ class FEArrays:
         return jnp.einsum("akl,ekl->ea", self.p2_refhess, C)
 
 
+def _transpose_map(elem_entries: np.ndarray, n_targets: int) -> np.ndarray:
+    """(n_el, k) target ids -> (n_targets, max_count) padded positions into
+    the flattened (n_el * k,) value array; padding = n_el * k (sentinel)."""
+    flat = np.asarray(elem_entries, np.int64).ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_t = flat[order]
+    counts = np.bincount(sorted_t, minlength=n_targets)
+    max_c = max(int(counts.max()), 1)
+    sentinel = flat.size
+    out = np.full((n_targets, max_c), sentinel, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    col = np.arange(flat.size) - starts[sorted_t]
+    out[sorted_t, col] = order
+    return out
+
+
 def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays:
     """Host-side construction of all static tables."""
     dim = mesh.dim
@@ -125,6 +151,10 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
     kp_e = np.einsum("ecd,efd,e->ecf", g1, g1, mesh.detj * rule.weights.sum())
     mp_e = np.einsum("q,qc,qf->cf", rule.weights, t1.values, t1.values)[None] * mesh.detj[:, None, None]
 
+    n_dofs = dim * nv + mesh.n_vertices
+    dof_gather = _transpose_map(elem_dofs, n_dofs)
+    p_gather = _transpose_map(mesh.elems_p1, mesh.n_vertices)
+
     f = lambda a: jnp.asarray(a, dtype)
     return FEArrays(
         elems_p2=jnp.asarray(mesh.elems_p2),
@@ -141,6 +171,8 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
         qpoints=f(qpoints),
         kp_e=f(kp_e),
         mp_e=f(mp_e),
+        dof_gather=jnp.asarray(dof_gather),
+        p_gather=jnp.asarray(p_gather),
         dim=dim,
         n_el=mesh.n_el,
         nq=rule.num_points,

@@ -26,8 +26,17 @@ from .fe_arrays import FEArrays
 
 
 def scatter_add(fe: FEArrays, y_e, n_dofs=None):
-    """(n_el, nd) element contributions -> global vector."""
+    """(n_el, nd) element contributions -> global vector.
+
+    Single-chip path: transpose-map gather + sum (XLA scatters with
+    duplicate indices serialize on TPU — ~100x slower than this).  Sharded
+    path: scatter-add of the local shard, combined by an XLA all-reduce
+    (the SPMD ``compress(add)``).
+    """
     n = fe.n_dofs if n_dofs is None else n_dofs
+    if fe.use_gather_scatter and n_dofs is None:
+        flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
+        return flat[fe.dof_gather].sum(axis=1)
     return jnp.zeros((n,), y_e.dtype).at[fe.elem_dofs].add(y_e)
 
 

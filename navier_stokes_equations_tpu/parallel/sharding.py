@@ -109,6 +109,9 @@ def shard_fe_arrays(fe: FEArrays, device_mesh: Mesh, axis: str = "elems") -> FEA
         arr = getattr(fe, f.name)
         spec = sharded if f.name in ELEMENT_AXIS_FIELDS else replicated
         updates[f.name] = jax.device_put(arr, spec)
+    # The transpose-map gather path indexes across all elements; sharded
+    # execution accumulates with scatter-add + all-reduce instead.
+    updates["use_gather_scatter"] = False
     return dataclasses.replace(fe, **updates)
 
 
