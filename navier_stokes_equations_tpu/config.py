@@ -101,13 +101,15 @@ class SolverConfig:
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
     precond_vel_method: str = "jacobi"  # "chebyshev" | "jacobi"
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
-    precond_vel_sweeps: int = 2  # Jacobi sweeps when vel_method="jacobi"
+    precond_vel_sweeps: int = 1  # Jacobi sweeps when vel_method="jacobi"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)
     # Pressure spaces up to this size use a precomputed dense K_p^{-1}
-    # (one MXU matmul per preconditioner application instead of a CG chain —
-    # a TPU latency optimization for small meshes).
-    precond_schur_dense_max: int = 3000
+    # (one MXU matmul per preconditioner application instead of a CG kernel
+    # chain; measured 56 ms -> ~2 ms per application on mesh-2D-100).  The
+    # inverse is built once on the host and disk-cached; 20k^2 f32 = 1.6 GB
+    # of HBM, well within budget.
+    precond_schur_dense_max: int = 20000
 
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"

@@ -96,8 +96,14 @@ def divergence_block_apply(fe: FEArrays, A_e, mask, x_u):
     The element matrices' pressure rows contain exactly the divergence block
     (plus nothing else: A_pp = 0), matching the reference's use of
     system_matrix.block(1,0) in the preconditioner (NavierStokes.hpp:334).
+    Only the velocity slots are gathered and only the pressure-row block of
+    the element matrices participates.
     """
-    x = x_u.at[fe.n_udofs :].set(0.0)
-    x = jnp.where(mask, 0.0, x)
-    y = apply_element_matrices(fe, A_e, x)
-    return y[fe.n_udofs :]
+    ndv = fe.dim * fe.n2
+    x = jnp.where(mask, 0.0, x_u)
+    x_e = x[fe.elem_dofs[:, :ndv]]  # (n_el, ndv)
+    y_e = jnp.einsum("ecj,ej->ec", A_e[:, ndv:, :ndv], x_e)  # (n_el, n1)
+    if fe.use_gather_scatter:
+        flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
+        return flat[fe.p_gather].sum(axis=1)
+    return jnp.zeros((fe.n_p,), y_e.dtype).at[fe.elems_p1].add(y_e)

@@ -51,6 +51,44 @@ class PressureOperators:
     dense: bool = dataclasses.field(metadata=dict(static=True))
 
 
+def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tpu_cache"):
+    """Assemble, pin and invert K_p densely (host, f64), with a disk cache.
+
+    The inverse is mesh-only data (reference assembles K_p once too,
+    cpp:529-538); inverting an ~18k matrix costs ~1 minute once and is then
+    memoized on disk keyed by the pressure connectivity + geometry.
+    """
+    import hashlib
+    import os
+
+    import numpy as np
+
+    ep = np.asarray(fe.elems_p1)
+    ke = np.asarray(kp_e, np.float64)
+    pin = np.asarray(pin_mask)
+    h = hashlib.sha1()
+    h.update(ep.tobytes())
+    h.update(np.asarray(ke, np.float32).tobytes())
+    h.update(pin.tobytes())
+    key = h.hexdigest()[:16]
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"kpinv_{fe.n_p}_{key}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+
+    K = np.zeros((fe.n_p, fe.n_p))
+    for e in range(fe.n_el):
+        K[np.ix_(ep[e], ep[e])] += ke[e]
+    K[pin, :] = 0.0
+    K[:, pin] = 0.0
+    K[pin, pin] = 1.0
+    K_inv = np.linalg.inv(K).astype(np.float32)
+    tmp = path + ".tmp.npy"
+    np.save(tmp, K_inv)
+    os.replace(tmp, path)
+    return K_inv
+
+
 def build_pressure_operators(
     fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0
 ) -> PressureOperators:
@@ -71,18 +109,7 @@ def build_pressure_operators(
     dense = 0 < fe.n_p <= dense_max
     kp_inv = jnp.zeros(())
     if dense:
-        import numpy as np
-
-        K = np.zeros((fe.n_p, fe.n_p))
-        ep = np.asarray(fe.elems_p1)
-        ke = np.asarray(kp_e, np.float64)
-        for e in range(fe.n_el):
-            K[np.ix_(ep[e], ep[e])] += ke[e]
-        pin = np.asarray(pin_mask)
-        K[pin, :] = 0.0
-        K[:, pin] = 0.0
-        K[pin, pin] = 1.0
-        kp_inv = jnp.asarray(np.linalg.inv(K), kp_diag.dtype)
+        kp_inv = jnp.asarray(_dense_kp_inverse(fe, kp_e, pin_mask), kp_diag.dtype)
 
     return PressureOperators(
         kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask,
