@@ -111,6 +111,12 @@ class SolverConfig:
     # of HBM, well within budget.
     precond_schur_dense_max: int = 20000
 
+    # Krylov operator evaluation: "quadrature" (sum-factorized shared-table
+    # GEMMs, the fast TPU path) or "element" (batched per-element matrices;
+    # also the reference for correctness tests).  Both evaluate the
+    # identical bilinear form.
+    operator_path: str = "quadrature"
+
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"
     rho: float = RHO

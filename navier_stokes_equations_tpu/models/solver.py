@@ -31,7 +31,7 @@ import numpy as np
 from ..config import NonlinearMethod, SolverConfig, TimeScheme
 from ..mesh import taylor_hood
 from ..mesh.taylor_hood import THMesh
-from ..ops import assembly, dirichlet, fe_arrays, functionals, operators
+from ..ops import assembly, dirichlet, fe_arrays, functionals, matfree, operators
 from ..solvers import gmres, preconditioners
 
 
@@ -136,17 +136,38 @@ class NavierStokesSolver:
         f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
-    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter, rtol=None):
-        """Constrain, precondition and solve one linear system."""
+    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None):
+        """Constrain, precondition and solve one linear system.
+
+        ``op``: optional quadrature-path raw operator (ops/matfree.py); the
+        element matrices are still used for the RHS and the preconditioner
+        diagonal, but every Krylov application goes through ``op``.
+        """
         cfg = self.cfg
         mask = self.dirichlet.mask
-        b_hat = operators.constrained_rhs(fe, A_e, b, mask, g)
-        apply_a = operators.make_constrained_operator(fe, A_e, mask)
+        n_u = fe.n_udofs
+        if op is None:
+            b_hat = operators.constrained_rhs(fe, A_e, b, mask, g)
+            apply_a = operators.make_constrained_operator(fe, A_e, mask)
+            vel_apply = div_apply = None
+        else:
+            b_hat = operators.constrained_rhs(fe, A_e, b, mask, g, apply_raw=op)
+            apply_a = operators.constrain_operator(op, mask)
+
+            def vel_apply(z):
+                zf = jnp.where(mask, 0.0, z.at[n_u:].set(0.0))
+                y = op.velocity_block(zf).at[n_u:].set(0.0)
+                return jnp.where(mask, z, y)
+
+            def div_apply(z_u):
+                return op.divergence(jnp.where(mask, 0.0, z_u))
+
         precond = preconditioners.make_cahouet_chabard(
             fe, self.pressure_ops, A_e, mask,
             dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
             vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
             vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
+            vel_apply=vel_apply, div_apply=div_apply,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
@@ -208,7 +229,12 @@ class NavierStokesSolver:
         f_new, f_old = self._forcing_at(fe, t_new, dt_att)
         A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
         b = operators.scatter_add(fe, b_e)
-        res = self._solve_linear(fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear)
+        op = None
+        if cfg.operator_path == "quadrature":
+            op = matfree.make_system_operator(fe, params, u_star)
+        res = self._solve_linear(
+            fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear, op=op
+        )
         return res.x, res.converged, res.iterations, dt_att
 
     def _linearized_advance(self, state: State, t_new, fe):
@@ -292,10 +318,16 @@ class NavierStokesSolver:
                     jnp.minimum(1.0, d1 * 1.5),
                     d1,
                 )
+                op = None
+                if cfg.operator_path == "quadrature":
+                    u_x, _ = fe.split(x)
+                    op = matfree.make_system_operator(
+                        fe, params, u_x, newton_reaction=True
+                    )
                 sol = self._solve_linear(
                     fe, A_e, b_hat, g * 0.0, dt0, theta_eff,
                     jnp.zeros_like(x), cfg.gmres_maxiter_newton,
-                    rtol=cfg.gmres_rtol_newton,
+                    rtol=cfg.gmres_rtol_newton, op=op,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))

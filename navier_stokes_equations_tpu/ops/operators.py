@@ -52,19 +52,26 @@ def make_constrained_operator(fe: FEArrays, A_e, mask):
 
     mask: (n_dofs,) bool, True on Dirichlet-constrained dofs.
     """
+    return constrain_operator(lambda v: apply_element_matrices(fe, A_e, v), mask)
+
+
+def constrain_operator(apply_raw, mask):
+    """Wrap any raw operator as A_hat = P A P + (I - P)."""
 
     def apply(x):
         x_free = jnp.where(mask, 0.0, x)
-        y = apply_element_matrices(fe, A_e, x_free)
+        y = apply_raw(x_free)
         return jnp.where(mask, x, y)
 
     return apply
 
 
-def constrained_rhs(fe: FEArrays, A_e, b, mask, g):
+def constrained_rhs(fe: FEArrays, A_e, b, mask, g, apply_raw=None):
     """b_hat = P (b - A g) + g with g the boundary-value vector."""
+    if apply_raw is None:
+        apply_raw = lambda v: apply_element_matrices(fe, A_e, v)
     g_only = jnp.where(mask, g, 0.0)
-    correction = apply_element_matrices(fe, A_e, g_only)
+    correction = apply_raw(g_only)
     return jnp.where(mask, g, b - correction)
 
 

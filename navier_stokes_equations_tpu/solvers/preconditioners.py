@@ -82,7 +82,18 @@ def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tp
     K[pin, :] = 0.0
     K[:, pin] = 0.0
     K[pin, pin] = 1.0
-    K_inv = np.linalg.inv(K).astype(np.float32)
+    if fe.n_p <= 2000:
+        K_inv = np.linalg.inv(K).astype(np.float32)
+    else:
+        # Large: invert on the accelerator (seconds at TPU f32 throughput vs
+        # an hour of single-core LAPACK on this host).  f32 accuracy is ample
+        # for a preconditioner block.
+        import jax
+        import jax.numpy as jnp
+
+        K_inv = np.asarray(
+            jax.jit(jnp.linalg.inv)(jnp.asarray(K, jnp.float32)), np.float32
+        )
     tmp = path + ".tmp.npy"
     np.save(tmp, K_inv)
     os.replace(tmp, path)
@@ -143,13 +154,22 @@ def make_cahouet_chabard(
     kp_iters: int = 30,
     vel_method: str = "chebyshev",
     vel_degree: int = 6,
+    vel_apply: Callable | None = None,
+    div_apply: Callable | None = None,
 ) -> Callable:
-    """Return precond(r) -> z for the current step's system."""
+    """Return precond(r) -> z for the current step's system.
+
+    ``vel_apply`` / ``div_apply`` optionally override the block applications
+    (the quadrature-path operators); defaults use the element matrices.
+    """
     diag = operators.extract_diagonal(fe, A_e, mask)
     n_u = fe.n_udofs
 
     kp_apply = lambda x: apply_kp(fe, pops, x)
-    vel_apply = lambda z: operators.velocity_block_apply(fe, A_e, mask, z)
+    if vel_apply is None:
+        vel_apply = lambda z: operators.velocity_block_apply(fe, A_e, mask, z)
+    if div_apply is None:
+        div_apply = lambda z: operators.divergence_block_apply(fe, A_e, mask, z)
 
     lmax = None
     if vel_method == "chebyshev":
@@ -174,7 +194,7 @@ def make_cahouet_chabard(
         z_u = z.at[n_u:].set(0.0)
 
         # --- step 2: t = r_p - B z_u ------------------------------------
-        t = r[n_u:] - operators.divergence_block_apply(fe, A_e, mask, z_u)
+        t = r[n_u:] - div_apply(z_u)
 
         # --- step 3: Cahouet-Chabard Schur action ------------------------
         t_free = jnp.where(pops.pin_mask, 0.0, t)
