@@ -77,23 +77,14 @@ def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tp
         return np.load(path)
 
     K = np.zeros((fe.n_p, fe.n_p))
-    for e in range(fe.n_el):
-        K[np.ix_(ep[e], ep[e])] += ke[e]
+    rows = np.broadcast_to(ep[:, :, None], ke.shape)
+    cols = np.broadcast_to(ep[:, None, :], ke.shape)
+    np.add.at(K, (rows, cols), ke)
     K[pin, :] = 0.0
     K[:, pin] = 0.0
     K[pin, pin] = 1.0
-    if fe.n_p <= 2000:
-        K_inv = np.linalg.inv(K).astype(np.float32)
-    else:
-        # Large: invert on the accelerator (seconds at TPU f32 throughput vs
-        # an hour of single-core LAPACK on this host).  f32 accuracy is ample
-        # for a preconditioner block.
-        import jax
-        import jax.numpy as jnp
-
-        K_inv = np.asarray(
-            jax.jit(jnp.linalg.inv)(jnp.asarray(K, jnp.float32)), np.float32
-        )
+    # ~2 n^3 flops: a few minutes at 18k on this host, once per mesh.
+    K_inv = np.linalg.inv(K).astype(np.float32)
     tmp = path + ".tmp.npy"
     np.save(tmp, K_inv)
     os.replace(tmp, path)
