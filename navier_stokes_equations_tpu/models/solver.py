@@ -456,6 +456,17 @@ class NavierStokesSolver:
                 "converged": bool(m.converged),
                 "wall": wall,
             }
+            # Instantaneous Re for sin(pi t/8)-modulated inlets
+            # (reference: NavierStokes.cpp:1089-1111).
+            import math as _math
+
+            t_now = rec["time"]
+            u_peak = self.cfg.U_m * _math.sin(_math.pi * t_now / 8.0)
+            if "sin" in (self.cfg.description or "") or "time-varying" in (self.cfg.description or ""):
+                from ..config import mean_velocity_factor as _mvf
+
+                u_mean = _mvf(self.cfg.dim) * u_peak
+                rec["re_instant"] = u_mean * 0.1 / self.nu
             history.append(rec)
             if logger is not None:
                 logger.log_step(rec)

@@ -52,7 +52,12 @@ class RunLogger:
 
     def log_step(self, rec: dict) -> None:
         if self.verbose:
-            line = f"Time step {rec['step']} at t={rec['time']:g}"
+            line = ""
+            if rec.get("re_instant") is not None:
+                # Time-varying-inlet cases print the instantaneous Reynolds
+                # number (reference: NavierStokes.cpp:1089-1111).
+                line += f"   Instantaneous Re: {rec['re_instant']:g}\n"
+            line += f"Time step {rec['step']} at t={rec['time']:g}"
             if rec.get("newton_iters", 0):
                 line += f"  Newton: {rec['newton_iters']} iters"
             line += f"  GMRES: {rec['gmres_iters']} iters"

@@ -98,3 +98,22 @@ def test_f32_matches_f64_short(mesh2d_path):
     err = np.abs(res["float32"] - res["float64"]).max()
     scale = np.abs(res["float64"]).max()
     assert err < 2e-3 * scale
+
+
+def test_2d3_time_varying_inlet(mesh2d_path):
+    """2D-3: sin(pi t/8) inlet — Re(t) ramps, functionals track it."""
+    s = _make_solver("2D-3", mesh2d_path, case_kwargs=dict(deltat=0.02))
+    state, hist = s.run(n_steps=100)  # t = 2: Re rising toward ~70
+    cd = np.array([h["Cd"] for h in hist])
+    t = np.array([h["time"] for h in hist])
+    assert np.isfinite(cd).all()
+    assert all(h["converged"] for h in hist)
+    # Drag rises with the accelerating inlet (ignoring the initial
+    # added-mass transient).
+    assert cd[-1] > cd[25]
+    # Instantaneous-Re log parity field present for this case.
+    assert "re_instant" in hist[-1]
+    import math
+
+    want = (2.0 / 3.0) * 1.5 * math.sin(math.pi * t[-1] / 8.0) * 0.1 / s.nu
+    assert hist[-1]["re_instant"] == pytest.approx(want, rel=1e-9)
