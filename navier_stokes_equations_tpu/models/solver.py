@@ -136,7 +136,7 @@ class NavierStokesSolver:
         f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
-    def _solve_linear(self, fe, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None):
+    def _solve_linear(self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None):
         """Constrain, precondition and solve one linear system.
 
         ``op``: optional quadrature-path raw operator (ops/matfree.py); the
@@ -163,7 +163,7 @@ class NavierStokesSolver:
                 return op.divergence(jnp.where(mask, 0.0, z_u))
 
         precond = preconditioners.make_cahouet_chabard(
-            fe, self.pressure_ops, A_e, mask,
+            fe, pops, A_e, mask,
             dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
             vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
             vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
@@ -203,7 +203,7 @@ class NavierStokesSolver:
         force_be = (k == 1) | (k == self._n_trials - 1)
         return dt_att, force_be
 
-    def _linearized_attempt(self, state: State, t_new, k, fe):
+    def _linearized_attempt(self, state: State, t_new, k, fe, pops):
         """One ladder trial (k traced): returns (x_new, ok, iters, dt_att)."""
         cfg = self.cfg
         theta0 = jnp.asarray(cfg.theta, self.dtype)
@@ -233,11 +233,11 @@ class NavierStokesSolver:
         if cfg.operator_path == "quadrature":
             op = matfree.make_system_operator(fe, params, u_star)
         res = self._solve_linear(
-            fe, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear, op=op
+            fe, pops, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear, op=op
         )
         return res.x, res.converged, res.iterations, dt_att
 
-    def _linearized_advance(self, state: State, t_new, fe):
+    def _linearized_advance(self, state: State, t_new, fe, pops):
         """Jitted in-graph ladder (used by run_scan / dryrun)."""
         n_trials = self._n_trials
 
@@ -247,7 +247,7 @@ class NavierStokesSolver:
 
         def ladder_body(c):
             k, _, _, x, its, _ = c
-            x1, ok1, it1, dt_att = self._linearized_attempt(state, t_new, k, fe)
+            x1, ok1, it1, dt_att = self._linearized_attempt(state, t_new, k, fe, pops)
             # The last (forced-BE) trial is always accepted (cpp:1281-1282),
             # but the reported convergence flag stays truthful.
             accepted = ok1 | (k == n_trials - 1)
@@ -265,7 +265,7 @@ class NavierStokesSolver:
         return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
-    def _newton_advance(self, state: State, t_new, fe):
+    def _newton_advance(self, state: State, t_new, fe, pops):
         cfg = self.cfg
         mask = self.dirichlet.mask
         theta_eff = jnp.where(
@@ -325,7 +325,7 @@ class NavierStokesSolver:
                         fe, params, u_x, newton_reaction=True
                     )
                 sol = self._solve_linear(
-                    fe, A_e, b_hat, g * 0.0, dt0, theta_eff,
+                    fe, pops, A_e, b_hat, g * 0.0, dt0, theta_eff,
                     jnp.zeros_like(x), cfg.gmres_maxiter_newton,
                     rtol=cfg.gmres_rtol_newton, op=op,
                 )
@@ -380,23 +380,31 @@ class NavierStokesSolver:
         )
         return new_state, metrics
 
-    def _step(self, state: State, fe=None) -> tuple[State, StepMetrics]:
-        """One full time step with the in-graph retry ladder."""
+    def _step(self, state: State, fe=None, pops=None) -> tuple[State, StepMetrics]:
+        """One full time step with the in-graph retry ladder.
+
+        ``fe`` and ``pops`` are jit *arguments* (not closure captures) so
+        their arrays — including the dense K_p inverse, which can reach GBs
+        on fine meshes — stay device-resident buffers instead of being
+        embedded in the program as constants.
+        """
         cfg = self.cfg
         if fe is None:
             fe = self.fe
+        if pops is None:
+            pops = self.pressure_ops
         t_new = state.time + jnp.asarray(self.dt0, self.dtype)
 
         if cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            adv = self._newton_advance(state, t_new, fe)
+            adv = self._newton_advance(state, t_new, fe, pops)
         else:
-            adv = self._linearized_advance(state, t_new, fe)
+            adv = self._linearized_advance(state, t_new, fe, pops)
         return self._finalize(state, t_new, fe, *adv)
 
-    def _attempt_step(self, state: State, k, fe) -> tuple[State, StepMetrics]:
+    def _attempt_step(self, state: State, k, fe, pops) -> tuple[State, StepMetrics]:
         """One ladder-trial step (k traced) — the host-ladder unit."""
         t_new = state.time + jnp.asarray(self.dt0, self.dtype)
-        x_new, ok, its, dt_att = self._linearized_attempt(state, t_new, k, fe)
+        x_new, ok, its, dt_att = self._linearized_attempt(state, t_new, k, fe, pops)
         return self._finalize(
             state, t_new, fe, x_new, ok, its, dt_att,
             jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype),
@@ -411,10 +419,12 @@ class NavierStokesSolver:
         fully jitted.
         """
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            return self._step_jit(state, self.fe)
+            return self._step_jit(state, self.fe, self.pressure_ops)
         its_total = 0
         for k in range(self._n_trials):
-            new_state, m = self._attempt_jit(state, jnp.asarray(k, jnp.int32), self.fe)
+            new_state, m = self._attempt_jit(
+                state, jnp.asarray(k, jnp.int32), self.fe, self.pressure_ops
+            )
             its_total += int(m.gmres_iters)
             if bool(m.converged) or k == self._n_trials - 1:
                 break
@@ -497,13 +507,13 @@ class NavierStokesSolver:
         """
         state = state if state is not None else self.initial_state()
 
-        def body(s, _):
-            s2, m = self._step(s, self.fe)
-            return s2, m
-
         @jax.jit
-        def loop(s):
+        def loop(s, fe, pops):
+            def body(c, _):
+                s2, m = self._step(c, fe, pops)
+                return s2, m
+
             return jax.lax.scan(body, s, None, length=n_steps)
 
-        final_state, metrics = loop(state)
+        final_state, metrics = loop(state, self.fe, self.pressure_ops)
         return final_state, metrics

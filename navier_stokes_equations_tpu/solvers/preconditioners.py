@@ -111,6 +111,12 @@ def build_pressure_operators(
     dense = 0 < fe.n_p <= dense_max
     kp_inv = jnp.zeros(())
     if dense:
+        # f32 storage is load-bearing: K_p^{-1} entries span many decades
+        # (near-singular regularized Laplacian), and bf16's 8-bit mantissa
+        # destroys the preconditioner (measured: 2D-2 FGMRES stops
+        # converging entirely).  The f32 matvec is ~n_p^2*4 B of HBM
+        # traffic per application — ~1.6 ms at 18k, still far cheaper than
+        # the CG chain it replaces.
         kp_inv = jnp.asarray(_dense_kp_inverse(fe, kp_e, pin_mask), kp_diag.dtype)
 
     return PressureOperators(
@@ -190,7 +196,11 @@ def make_cahouet_chabard(
         # --- step 3: Cahouet-Chabard Schur action ------------------------
         t_free = jnp.where(pops.pin_mask, 0.0, t)
         if pops.dense:
-            kp_inv_t = pops.kp_inv @ t_free
+            kp_inv_t = jnp.matmul(
+                pops.kp_inv,
+                t_free.astype(pops.kp_inv.dtype),
+                preferred_element_type=t_free.dtype,
+            ).astype(t_free.dtype)
         else:
             kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
         z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
