@@ -107,10 +107,7 @@ def make_system_operator(
         yv_e = integrate_velocity_rows(V, Gref)
         yp_e = -jnp.einsum("eq,eq,qc->ec", fe.jxw, divu, fe.p1_val)
         y_e = jnp.concatenate([yv_e, yp_e], axis=1)
-        if fe.use_gather_scatter:
-            flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
-            return flat[fe.dof_gather].sum(axis=1)
-        return jnp.zeros((fe.n_dofs,), y_e.dtype).at[fe.elem_dofs].add(y_e)
+        return fe.accumulate(y_e)
 
     def apply_velocity_block(x):
         """A_vv x: trial pressure ignored, pressure rows dropped."""
@@ -119,17 +116,10 @@ def make_system_operator(
         zero_p = jnp.zeros_like(u_q[..., 0])
         V, Gref, _ = momentum_terms(u_q, gu, zero_p, jnp.zeros_like(u_q[:, 0, :]))
         yv_e = integrate_velocity_rows(V, Gref)
-        if fe.use_gather_scatter:
-            flat = jnp.concatenate([yv_e.reshape(-1), jnp.zeros((1,), yv_e.dtype)])
-            # dof_gather indexes (n_el, nd) positions; build velocity-only
-            # result via the full map with zero pressure rows instead.
-            y_e = jnp.concatenate(
-                [yv_e, jnp.zeros((fe.n_el, fe.n1), yv_e.dtype)], axis=1
-            )
-            flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
-            return flat[fe.dof_gather].sum(axis=1)
+        # The transpose map indexes (n_el, nd) positions, so feed it the
+        # full-width element block with zero pressure rows.
         y_e = jnp.concatenate([yv_e, jnp.zeros((fe.n_el, fe.n1), yv_e.dtype)], axis=1)
-        return jnp.zeros((fe.n_dofs,), y_e.dtype).at[fe.elem_dofs].add(y_e)
+        return fe.accumulate(y_e)
 
     def apply_divergence(x):
         """B x: pressure rows only (the preconditioner's step 2)."""
@@ -143,10 +133,7 @@ def make_system_operator(
             # SUPG adds no pressure-row terms (stabilization tests velocity
             # functions only; reference: cpp:767-789).
             pass
-        if fe.use_gather_scatter:
-            flat = jnp.concatenate([yp_e.reshape(-1), jnp.zeros((1,), yp_e.dtype)])
-            return flat[fe.p_gather].sum(axis=1)
-        return jnp.zeros((fe.n_p,), yp_e.dtype).at[fe.elems_p1].add(yp_e)
+        return fe.accumulate_p(yp_e)
 
     apply.velocity_block = apply_velocity_block
     apply.divergence = apply_divergence

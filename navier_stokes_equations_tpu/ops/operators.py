@@ -34,9 +34,8 @@ def scatter_add(fe: FEArrays, y_e, n_dofs=None):
     (the SPMD ``compress(add)``).
     """
     n = fe.n_dofs if n_dofs is None else n_dofs
-    if fe.use_gather_scatter and n_dofs is None:
-        flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
-        return flat[fe.dof_gather].sum(axis=1)
+    if n_dofs is None:
+        return fe.accumulate(y_e)
     return jnp.zeros((n,), y_e.dtype).at[fe.elem_dofs].add(y_e)
 
 
@@ -110,7 +109,4 @@ def divergence_block_apply(fe: FEArrays, A_e, mask, x_u):
     x = jnp.where(mask, 0.0, x_u)
     x_e = x[fe.elem_dofs[:, :ndv]]  # (n_el, ndv)
     y_e = jnp.einsum("ecj,ej->ec", A_e[:, ndv:, :ndv], x_e)  # (n_el, n1)
-    if fe.use_gather_scatter:
-        flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
-        return flat[fe.p_gather].sum(axis=1)
-    return jnp.zeros((fe.n_p,), y_e.dtype).at[fe.elems_p1].add(y_e)
+    return fe.accumulate_p(y_e)

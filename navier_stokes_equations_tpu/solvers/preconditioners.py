@@ -130,11 +130,7 @@ def apply_kp(fe: FEArrays, pops: PressureOperators, x_p):
     x_free = jnp.where(pops.pin_mask, 0.0, x_p)
     x_e = x_free[fe.elems_p1]
     y_e = jnp.einsum("ecf,ef->ec", fe.kp_e + pops.eps * fe.mp_e, x_e)
-    if fe.use_gather_scatter:
-        flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
-        y = flat[fe.p_gather].sum(axis=1)
-    else:
-        y = jnp.zeros_like(x_p).at[fe.elems_p1].add(y_e)
+    y = fe.accumulate_p(y_e)
     return jnp.where(pops.pin_mask, x_p, y)
 
 
