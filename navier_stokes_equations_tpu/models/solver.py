@@ -102,6 +102,9 @@ class NavierStokesSolver:
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
         # No donation: a failed trial re-uses the incoming state.
         self._attempt_jit = jax.jit(self._attempt_step)
+        # Trial indices as device constants: uploading a fresh scalar every
+        # step adds an H2D round-trip over the (remote) device link.
+        self._k_consts = [jnp.asarray(k, jnp.int32) for k in range(self._n_trials)]
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -136,12 +139,16 @@ class NavierStokesSolver:
         f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
-    def _solve_linear(self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None):
+    def _solve_linear(
+        self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None,
+        diag=None,
+    ):
         """Constrain, precondition and solve one linear system.
 
-        ``op``: optional quadrature-path raw operator (ops/matfree.py); the
-        element matrices are still used for the RHS and the preconditioner
-        diagonal, but every Krylov application goes through ``op``.
+        ``op``: optional quadrature-path raw operator (ops/matfree.py) —
+        every Krylov application goes through it.  ``diag``: precomputed
+        global matrix diagonal; when given together with ``op``, the element
+        matrices ``A_e`` are not needed at all (linearized fast path).
         """
         cfg = self.cfg
         mask = self.dirichlet.mask
@@ -167,7 +174,7 @@ class NavierStokesSolver:
             dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
             vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
             vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
-            vel_apply=vel_apply, div_apply=div_apply,
+            vel_apply=vel_apply, div_apply=div_apply, diag=diag,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
@@ -227,14 +234,26 @@ class NavierStokesSolver:
             rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
         )
         f_new, f_old = self._forcing_at(fe, t_new, dt_att)
-        A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
-        b = operators.scatter_add(fe, b_e)
-        op = None
         if cfg.operator_path == "quadrature":
+            # Fast path: never form the (nd, nd) element matrices — the
+            # Krylov operator is the quadrature-path apply, and the
+            # preconditioner needs only the matrix diagonal.
+            diag_e, b_e = assembly.oseen_rhs_diag(fe, params, u_star, u_old, f_new, f_old)
+            b = operators.scatter_add(fe, b_e)
+            mask = self.dirichlet.mask
+            diag = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
+            diag = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
             op = matfree.make_system_operator(fe, params, u_star)
-        res = self._solve_linear(
-            fe, pops, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear, op=op
-        )
+            res = self._solve_linear(
+                fe, pops, None, b, g, dt_att, th, x_start,
+                cfg.gmres_maxiter_linear, op=op, diag=diag,
+            )
+        else:
+            A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
+            b = operators.scatter_add(fe, b_e)
+            res = self._solve_linear(
+                fe, pops, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear
+            )
         return res.x, res.converged, res.iterations, dt_att
 
     def _linearized_advance(self, state: State, t_new, fe, pops):
@@ -420,16 +439,19 @@ class NavierStokesSolver:
         """
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
             return self._step_jit(state, self.fe, self.pressure_ops)
-        its_total = 0
+        its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(
-                state, jnp.asarray(k, jnp.int32), self.fe, self.pressure_ops
+                state, self._k_consts[k], self.fe, self.pressure_ops
             )
-            its_total += int(m.gmres_iters)
+            # Happy path costs exactly ONE device->host scalar read.
             if bool(m.converged) or k == self._n_trials - 1:
                 break
-        if its_total != int(m.gmres_iters):
-            m = dataclasses.replace(m, gmres_iters=jnp.asarray(its_total, jnp.int32))
+            its_prev += int(m.gmres_iters)
+        if its_prev:
+            m = dataclasses.replace(
+                m, gmres_iters=jnp.asarray(its_prev + int(m.gmres_iters), jnp.int32)
+            )
         return new_state, m
 
     # ------------------------------------------------------------------

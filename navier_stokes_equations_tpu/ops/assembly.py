@@ -165,6 +165,75 @@ def oseen_system(
     return A_e, b_e
 
 
+def oseen_rhs_diag(
+    fe: FEArrays,
+    params: StepParams,
+    u_star,  # (n_vnodes, dim) extrapolated advection field
+    u_old,  # (n_vnodes, dim)
+    f_new_q: Optional[Any] = None,
+    f_old_q: Optional[Any] = None,
+):
+    """RHS and matrix diagonal of the Oseen system WITHOUT the matrices.
+
+    On the quadrature (matrix-free) operator path the full ``(nd, nd)``
+    element matrices of :func:`oseen_system` are consumed only for their
+    diagonal (Jacobi/Chebyshev preconditioning) and the RHS — forming the
+    other ~95% of entries costs ~10 ms/step at mesh-2D-100.  This computes
+    exactly ``(diagonal(A_e), b_e)`` (same weak form, reference:
+    NavierStokes.cpp:699-795); equality is asserted in tests/test_assembly.py.
+
+    Returns ``(diag_e (n_el, nd), b_e (n_el, nd))`` in component-major local
+    layout (pressure diagonal is zero: A_pp = 0).
+    """
+    g2 = fe.phys_grads_p2()
+    ustar_e = fe.gather_u(u_star)
+    uold_e = fe.gather_u(u_old)
+    ustar_q = _interp_u(fe, ustar_e)
+    uold_q = _interp_u(fe, uold_e)
+    graduold_q = _interp_grad_u(fe, g2, uold_e)
+
+    dt, theta, nu = params.dt, params.theta, params.nu
+
+    adv_a = jnp.einsum("eqd,eqad->eqa", ustar_q, g2)  # (u* . grad) phi_a
+
+    mass_d = jnp.einsum("eq,qa,qa->ea", fe.jxw, fe.p2_val, fe.p2_val)
+    stiff_d = jnp.einsum("eq,eqad,eqad->ea", fe.jxw, g2, g2)
+    conv_d = jnp.einsum("eq,qa,eqa->ea", fe.jxw, fe.p2_val, adv_a)
+    diag_common = mass_d / dt + theta * nu * stiff_d + theta * conv_d  # (n_el, n2)
+    diag_vd = jnp.broadcast_to(diag_common[:, :, None], (fe.n_el, fe.n2, fe.dim))
+
+    # --- RHS (identical formulas to oseen_system) -----------------------
+    conv_old = jnp.einsum("eqdk,eqk->eqd", graduold_q, uold_q)
+    b_v = jnp.einsum("eq,eqd,qa->ead", fe.jxw, uold_q / dt, fe.p2_val)
+    b_v -= (1.0 - theta) * nu * jnp.einsum("eq,eqdk,eqak->ead", fe.jxw, graduold_q, g2)
+    b_v -= (1.0 - theta) * jnp.einsum("eq,eqd,qa->ead", fe.jxw, conv_old, fe.p2_val)
+
+    f_theta = None
+    if f_new_q is not None:
+        f_theta = theta * f_new_q + (1.0 - theta) * f_old_q
+        b_v += jnp.einsum("eq,eqd,qa->ead", fe.jxw, f_theta, fe.p2_val)
+
+    if params.use_supg:
+        tau = _supg_tau(fe, params, ustar_q)
+        test = tau[:, :, None] * jnp.einsum("eqd,eqad->eqa", ustar_q, g2)
+        op_a = fe.p2_val[None, :, :] / dt + adv_a
+        diag_vd = diag_vd + jnp.einsum("eq,eqa,eqa->ea", fe.jxw, test, op_a)[:, :, None]
+        # grad-div diagonal depends on the component: gamma (d_d phi_a)^2.
+        diag_vd = diag_vd + params.gamma * jnp.einsum(
+            "eq,eqad,eqad->ead", fe.jxw, g2, g2
+        )
+        rhs_src = uold_q / dt
+        if f_theta is not None:
+            rhs_src = rhs_src + f_theta
+        b_v += jnp.einsum("eq,eqa,eqd->ead", fe.jxw, test, rhs_src)
+
+    # Component-major (d, a) packing, pressure rows zero.
+    diag_v = jnp.transpose(diag_vd, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
+    zeros_p = jnp.zeros((fe.n_el, fe.n1), diag_v.dtype)
+    diag_e = jnp.concatenate([diag_v, zeros_p], axis=1)
+    return diag_e, _vel_rhs_to_element(fe, b_v)
+
+
 def newton_system(
     fe: FEArrays,
     params: StepParams,

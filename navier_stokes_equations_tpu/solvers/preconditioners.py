@@ -149,13 +149,17 @@ def make_cahouet_chabard(
     vel_degree: int = 6,
     vel_apply: Callable | None = None,
     div_apply: Callable | None = None,
+    diag=None,
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
     ``vel_apply`` / ``div_apply`` optionally override the block applications
     (the quadrature-path operators); defaults use the element matrices.
+    ``diag``: precomputed global matrix diagonal — the quadrature path
+    supplies it (assembly.oseen_rhs_diag) so ``A_e`` may be None.
     """
-    diag = operators.extract_diagonal(fe, A_e, mask)
+    if diag is None:
+        diag = operators.extract_diagonal(fe, A_e, mask)
     n_u = fe.n_udofs
 
     kp_apply = lambda x: apply_kp(fe, pops, x)

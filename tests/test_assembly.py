@@ -274,3 +274,25 @@ def test_supg_jacobian_consistent_frozen_stabilization():
     # columns removed.
     Dvv = D[:n_vrows, :n_vrows]
     assert np.isfinite(Dvv).all()
+
+
+def test_oseen_rhs_diag_matches_full_system(sq):
+    """oseen_rhs_diag == (diagonal(A_e), b_e) of oseen_system, all regimes."""
+    mesh, fe = sq
+    rng = np.random.default_rng(7)
+    u_star = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    u_old = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    f_q = jnp.asarray(rng.standard_normal((fe.n_el, fe.nq, 2)))
+    for supg in (False, True):
+        for theta in (1.0, 0.5):
+            params = _params(dt=0.05, theta=theta, nu=0.02, supg=supg)
+            A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_q, 0.5 * f_q)
+            diag_e, b_e2 = assembly.oseen_rhs_diag(fe, params, u_star, u_old, f_q, 0.5 * f_q)
+            np.testing.assert_allclose(
+                np.asarray(diag_e),
+                np.diagonal(np.asarray(A_e), axis1=1, axis2=2),
+                rtol=1e-12, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(b_e2), np.asarray(b_e), rtol=1e-12, atol=1e-12
+            )
