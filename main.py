@@ -23,7 +23,12 @@ import sys
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--case", default="2D-2", help="test case: 2D-1, 2D-2, 2D-3, 3D-1Z, 3D-2Z, 3D-3Z")
-    p.add_argument("--mesh", default="/root/reference/meshes/mesh-2D.msh", help=".msh path or generated-mesh spec (see --gen-*)")
+    p.add_argument(
+        "--mesh",
+        default="/root/reference/meshes/mesh-2D.msh",
+        help=".msh path, or a native-generator spec: gen2d[:h_far[,h_cyl]] / "
+        "gen3d[:h_far[,h_cyl]] (channel-past-cylinder meshes, mesh/generators.py)",
+    )
     p.add_argument("--deltat", type=float, default=-1.0, help="time step (<=0: Re-based default)")
     p.add_argument("--T", type=float, default=None, help="final time override")
     p.add_argument("--steps", type=int, default=None, help="run exactly N steps instead of T/dt")
@@ -71,7 +76,15 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    s = solver.NavierStokesSolver(cfg, args.mesh)
+    mesh = args.mesh
+    if mesh.startswith(("gen2d", "gen3d")):
+        from navier_stokes_equations_tpu.mesh import generators, taylor_hood
+
+        kind, _, params = mesh.partition(":")
+        sizes = [float(x) for x in params.split(",") if x] if params else []
+        gen = generators.channel_cylinder_2d if kind == "gen2d" else generators.channel_cylinder_3d
+        mesh = taylor_hood.build(gen(*sizes))
+    s = solver.NavierStokesSolver(cfg, mesh)
 
     logger = nslog.RunLogger(
         forces_path=os.path.join(args.output_dir, "forces.txt"),

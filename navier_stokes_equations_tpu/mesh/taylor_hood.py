@@ -224,9 +224,30 @@ def build(raw: gmsh_io.RawGmsh, n_face_q1d: int = 3, repair_boundary_ids: bool =
 
     cells = _fix_orientation(vertices, cells.astype(np.int64))
 
+    # Valence-clustered vertex numbering: sort vertices by descending
+    # element valence so the transpose assembly maps (ops/fe_arrays.py) can
+    # use tight per-bucket pad widths — TPU gather cost is proportional to
+    # padded slots, and tet vertex valences span 4..40+.  Purely an internal
+    # renumbering; all outputs stay self-consistent.
+    valence = np.bincount(cells.ravel(), minlength=len(vertices))
+    vperm = np.argsort(-valence, kind="stable")
+    vinv = np.empty_like(vperm)
+    vinv[vperm] = np.arange(len(vperm))
+    vertices = vertices[vperm]
+    cells = vinv[cells]
+    if len(bfaces):
+        bfaces = vinv[bfaces].astype(np.int32)
+
     # --- P2 velocity nodes: vertices then unique edge midpoints -----------
     edge_list = el.TRI_EDGES if dim == 2 else el.TET_EDGES
     uniq_edges, elem_edge_idx = _unique_edges(cells, edge_list)
+    # Same valence clustering for the synthesized edge-midpoint nodes.
+    e_val = np.bincount(elem_edge_idx.ravel(), minlength=len(uniq_edges))
+    eperm = np.argsort(-e_val, kind="stable")
+    einv = np.empty_like(eperm)
+    einv[eperm] = np.arange(len(eperm))
+    uniq_edges = uniq_edges[eperm]
+    elem_edge_idx = einv[elem_edge_idx]
     n_vert = len(vertices)
     midpoints = 0.5 * (vertices[uniq_edges[:, 0]] + vertices[uniq_edges[:, 1]])
     vel_coords = np.vstack([vertices, midpoints])

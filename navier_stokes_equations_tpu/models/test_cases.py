@@ -111,7 +111,7 @@ def make_3d_1z(ts=TimeScheme.BACKWARD_EULER, nm=NonlinearMethod.NEWTON, deltat=-
         description="Steady 3D flow, Re=20, U_m=0.45, circular cylinder",
         dim=3, Re=20.0, U_m=0.45, T=10.0, deltat=deltat,
         time_scheme=ts, nonlinear_method=nm, use_supg=True,
-        precond_vel_method="chebyshev",
+        precond_vel_method="jacobi",
         inlet_profile=benchmark_inlet(3, 0.45, time_dependent=False),
     )
 
@@ -123,7 +123,7 @@ def make_3d_2z(ts=TimeScheme.CRANK_NICOLSON, nm=NonlinearMethod.LINEARIZED, delt
         dim=3, Re=100.0, U_m=2.25, T=8.0,
         deltat=(deltat if deltat > 0 else 0.01),
         time_scheme=ts, nonlinear_method=nm, use_supg=True,
-        precond_vel_method="chebyshev",
+        precond_vel_method="jacobi",
         inlet_profile=benchmark_inlet(3, 2.25, time_dependent=False, T_ramp=4.0),
     )
 
@@ -135,7 +135,7 @@ def make_3d_3z(ts=TimeScheme.CRANK_NICOLSON, nm=NonlinearMethod.LINEARIZED, delt
         dim=3, Re=100.0, U_m=2.25, T=8.0,
         deltat=(deltat if deltat > 0 else 0.01),
         time_scheme=ts, nonlinear_method=nm, use_supg=True,
-        precond_vel_method="chebyshev",
+        precond_vel_method="jacobi",
         inlet_profile=benchmark_inlet(3, 2.25, time_dependent=True),
     )
 

@@ -61,7 +61,7 @@ class FEArrays:
     # 4x — one global width would pad everything to the vertex maximum.
     # Measured on mesh-2D-100: 9.2 ms -> 5.0 ms per accumulation.
     dof_gather: Any  # tuple of (range_len, w_r) int32 maps covering [0, n_dofs)
-    p_gather: Any  # (n_p, max_elems_per_vertex) int32 into (n_el*n1,)
+    p_gather: Any  # tuple of (range_len, w_r) int32 maps covering [0, n_p)
 
     # --- static metadata ------------------------------------------------
     dim: int = dataclasses.field(metadata=dict(static=True))
@@ -132,7 +132,7 @@ class FEArrays:
         if not self.use_gather_scatter:
             return jnp.zeros((self.n_p,), yp_e.dtype).at[self.elems_p1].add(yp_e)
         flat = jnp.concatenate([yp_e.reshape(-1), jnp.zeros((1,), yp_e.dtype)])
-        return flat[self.p_gather].sum(axis=1)
+        return jnp.concatenate([flat[g].sum(axis=1) for g in self.p_gather])
 
 
 def _transpose_map(elem_entries: np.ndarray, n_targets: int) -> np.ndarray:
@@ -151,6 +151,30 @@ def _transpose_map(elem_entries: np.ndarray, n_targets: int) -> np.ndarray:
     return out
 
 
+def _adaptive_splits(counts: np.ndarray, min_rows: int = 4096, max_buckets: int = 5):
+    """Extra split points inside one contiguous range.
+
+    With valence-clustered node numbering (mesh/taylor_hood.py) the
+    adjacency counts are non-increasing inside a range, so greedily starting
+    a new bucket whenever the count has dropped to <=3/4 of the current
+    bucket's width removes most padding at a bounded number of gathers."""
+    splits = []
+    if len(counts) == 0:
+        return splits
+    cur_max = int(counts[0])
+    start = 0
+    for i in range(len(counts)):
+        if (
+            len(splits) + 1 < max_buckets
+            and i - start >= min_rows
+            and counts[i] * 4 <= cur_max * 3
+        ):
+            splits.append(i)
+            start = i
+            cur_max = max(int(counts[i]), 1)
+    return splits
+
+
 def _bucketed_transpose_map(
     elem_entries: np.ndarray, n_targets: int, bounds: list[int]
 ) -> tuple[np.ndarray, ...]:
@@ -158,14 +182,21 @@ def _bucketed_transpose_map(
     column-trimmed to its own maximum adjacency (entries are left-packed, so
     trimming drops only sentinel padding).  Gather cost is proportional to
     padded slots; dof classes with 4x different valences should not share
-    one pad width."""
+    one pad width.  Ranges are further sub-split adaptively along the
+    (valence-sorted) count profile."""
     full = _transpose_map(elem_entries, n_targets)
     sentinel = elem_entries.size
-    parts = []
-    edges = [0] + sorted(b for b in bounds if 0 < b < n_targets) + [n_targets]
+    counts = (full != sentinel).sum(axis=1)
+    edges = sorted({0, n_targets, *(b for b in bounds if 0 < b < n_targets)})
+    cut = []
     for lo, hi in zip(edges[:-1], edges[1:]):
+        cut.append(lo)
+        cut.extend(lo + s for s in _adaptive_splits(counts[lo:hi]))
+    cut.append(n_targets)
+    parts = []
+    for lo, hi in zip(cut[:-1], cut[1:]):
         block = full[lo:hi]
-        w = max(int((block != sentinel).sum(axis=1).max()), 1)
+        w = max(int(counts[lo:hi].max()), 1) if hi > lo else 1
         parts.append(np.ascontiguousarray(block[:, :w]))
     return tuple(parts)
 
@@ -206,7 +237,7 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
         bounds += [d * nv, d * nv + mesh.n_vertices]
     bounds.append(dim * nv)
     dof_gather = _bucketed_transpose_map(elem_dofs, n_dofs, bounds)
-    p_gather = _transpose_map(mesh.elems_p1, mesh.n_vertices)
+    p_gather = _bucketed_transpose_map(mesh.elems_p1, mesh.n_vertices, [])
 
     f = lambda a: jnp.asarray(a, dtype)
     return FEArrays(
@@ -225,7 +256,7 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
         kp_e=f(kp_e),
         mp_e=f(mp_e),
         dof_gather=tuple(jnp.asarray(g) for g in dof_gather),
-        p_gather=jnp.asarray(p_gather),
+        p_gather=tuple(jnp.asarray(g) for g in p_gather),
         dim=dim,
         n_el=mesh.n_el,
         nq=rule.num_points,

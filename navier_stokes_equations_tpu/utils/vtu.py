@@ -19,8 +19,15 @@ import numpy as np
 
 from ..mesh.taylor_hood import THMesh
 
-_VTK_TRIANGLE = 5
-_VTK_TETRA = 10
+_VTK_QUADRATIC_TRIANGLE = 22
+_VTK_QUADRATIC_TETRA = 24
+
+# Local P2 node order (vertices, then edge midpoints in ops/elements.py
+# TRI_EDGES/TET_EDGES order) -> VTK quadratic cell node order.
+_VTK_P2_PERM = {
+    2: [0, 1, 2, 3, 4, 5],  # TRI_EDGES (01,12,20) == VTK order
+    3: [0, 1, 2, 3, 4, 7, 5, 6, 8, 9],  # VTK wants m01,m12,m02,m03,m13,m23
+}
 
 
 def _b64_block(arr: np.ndarray) -> str:
@@ -32,24 +39,45 @@ def _b64_block(arr: np.ndarray) -> str:
 def write_vtu(
     path: str,
     mesh: THMesh,
-    u: np.ndarray,  # (n_vnodes, dim) — only vertex values are written (P1 view)
+    u: np.ndarray,  # (n_vnodes, dim) — full P2 field (vertices + midpoints)
     p: np.ndarray,  # (n_p,)
     subdomain: np.ndarray | None = None,  # (n_el_real,) shard ids
 ) -> None:
+    """Quadratic (P2) cells, so ParaView renders the true Taylor-Hood field
+    (the reference writes deal.II patches of the same degree,
+    NavierStokes.cpp:1013-1042).  Pressure (P1) is prolongated to edge
+    midpoints by averaging its endpoint values — exact for a linear field."""
     dim = mesh.dim
-    n_pts = mesh.n_vertices
-    cells = np.asarray(mesh.elems_p1[: mesh.n_el_real], np.int32)
+    n_pts = mesh.n_vnodes
+    cells = np.asarray(mesh.elems_p2[: mesh.n_el_real], np.int64)
+    cells = cells[:, _VTK_P2_PERM[dim]]
     n_cells = len(cells)
 
     pts = np.zeros((n_pts, 3), np.float32)
-    pts[:, :dim] = mesh.vertices
+    pts[:, :dim] = mesh.vel_coords
     vel = np.zeros((n_pts, 3), np.float32)
-    vel[:, :dim] = np.asarray(u)[:n_pts]
-    press = np.asarray(p, np.float32)
+    vel[:, :dim] = np.asarray(u)
+    p_vert = np.asarray(p, np.float64)
+    # P1 -> P2 prolongation: midpoint value = mean of edge endpoint values.
+    press = np.zeros(n_pts, np.float32)
+    press[: mesh.n_vertices] = p_vert
+    ep2 = np.asarray(mesh.elems_p2[: mesh.n_el_real])
+    ep1 = np.asarray(mesh.elems_p1[: mesh.n_el_real])
+    from ..ops import elements as el
 
-    connectivity = cells.astype(np.int64).ravel()
-    offsets = (np.arange(1, n_cells + 1, dtype=np.int64)) * (dim + 1)
-    types = np.full(n_cells, _VTK_TRIANGLE if dim == 2 else _VTK_TETRA, np.uint8)
+    edge_defs = el.TRI_EDGES if dim == 2 else el.TET_EDGES
+    for k, (a, b) in enumerate(edge_defs):
+        nodes = ep2[:, dim + 1 + k]
+        press[nodes] = 0.5 * (p_vert[ep1[:, a]] + p_vert[ep1[:, b]])
+
+    connectivity = cells.ravel()
+    nper = cells.shape[1]
+    offsets = (np.arange(1, n_cells + 1, dtype=np.int64)) * nper
+    types = np.full(
+        n_cells,
+        _VTK_QUADRATIC_TRIANGLE if dim == 2 else _VTK_QUADRATIC_TETRA,
+        np.uint8,
+    )
     sub = (
         np.asarray(subdomain, np.float32)
         if subdomain is not None

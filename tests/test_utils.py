@@ -49,6 +49,8 @@ def test_vtu_output(short_run, tmp_path):
     txt = open(path).read()
     assert "UnstructuredGrid" in txt
     assert 'Name="velocity"' in txt and 'Name="pressure"' in txt
+    # Quadratic cells: points = all P2 nodes (vertices + edge midpoints).
+    assert f'NumberOfPoints="{s.mesh.n_vnodes}"' in txt
     assert os.path.getsize(path) > 1000
     vtu.write_pvd(str(tmp_path / "o.pvd"), [(0.1, "out.vtu")])
     assert "Collection" in open(tmp_path / "o.pvd").read()
