@@ -92,6 +92,11 @@ class SolverConfig:
     gmres_rtol_newton: float = 1e-2
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
+    # Relative fallback ||R|| <= newton_rtol * ||R_first||: the reference's
+    # absolute 1e-8 (NavierStokes.hpp:514-515) presumes f64 residuals; in
+    # f32 at ~1e5 dofs the attainable floor is ~1e-6 relative, and without
+    # this criterion every step burns all 50 iterations.
+    newton_rtol: float = 1e-6
     max_substeps: int = 4  # dt-halving retries (reference: NavierStokes.cpp:1211)
     # Warm-start GMRES from the previous time level (the reference starts
     # from zero, cpp:849/560; warm starting converges to the same tolerance
