@@ -80,6 +80,10 @@ class SolverConfig:
     gmres_maxiter_newton: int = 500
     gmres_maxiter_linear: int = 200
     gmres_restart: int = 150
+    # Allocated Krylov basis length (HBM traffic of the CGS2 projections
+    # scales with the allocation, not the live iteration count).  Solves
+    # exceeding it restart there; warm-started benchmark steps use ~15.
+    gmres_alloc: int = 64
     # Absolute stopping criterion ||r|| <= gmres_rtol * ||b||.  The reference
     # uses 1e-2 with a zero initial guess (cpp:545, 836); with warm starting
     # that criterion is met almost immediately and suppresses the unsteady

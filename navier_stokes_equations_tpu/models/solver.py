@@ -180,6 +180,7 @@ class NavierStokesSolver:
             apply_a, b_hat, precond=precond, x0=x0,
             restart=cfg.gmres_restart, maxiter=maxiter,
             rtol=cfg.gmres_rtol if rtol is None else rtol,
+            alloc=cfg.gmres_alloc,
         )
         return res
 
@@ -223,6 +224,9 @@ class NavierStokesSolver:
         u_old, _ = fe.split(state.x_old)
         u_oo, _ = fe.split(state.x_old_old)
         is_be = cfg.time_scheme == TimeScheme.BACKWARD_EULER
+        # Warm start from x^n.  (Linear extrapolation 2x^n - x^{n-1} was
+        # measured WORSE — 13 -> 33 Krylov its/step on 2D-2: the CN pressure
+        # mode is non-smooth step-to-step and extrapolating it amplifies it.)
         x_start = state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
 
         dt_att, force_be = self._trial_params(k)

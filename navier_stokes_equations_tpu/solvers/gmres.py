@@ -47,15 +47,24 @@ def fgmres(
     maxiter: int = 200,
     atol=None,
     rtol=1e-2,
+    alloc: int | None = None,
 ) -> GmresResult:
     """Solve A x = b with right-preconditioned FGMRES(restart).
 
     Stopping rule: ||r|| <= max(atol, rtol * ||b||)  (the reference uses the
     absolute criterion 1e-2 * ||b||, i.e. atol=None, rtol=1e-2).
+
+    ``alloc`` caps the *allocated* basis length: the CGS2 projections are
+    masked matmuls over the full (m+1, n) basis, so HBM traffic per Arnoldi
+    step scales with the allocation even when only k << m rows are live.
+    Solves needing more than ``alloc`` steps restart there (same
+    convergence guarantees, slightly different trajectory).
     """
     n = b.shape[0]
     dtype = b.dtype
     m = min(restart, maxiter)
+    if alloc is not None:
+        m = min(m, alloc)
     if precond is None:
         precond = lambda v: v
     x = jnp.zeros_like(b) if x0 is None else x0
