@@ -158,8 +158,12 @@ class NavierStokesSolver:
             apply_a = operators.make_constrained_operator(fe, A_e, mask)
             vel_apply = div_apply = None
         else:
-            b_hat = operators.constrained_rhs(fe, A_e, b, mask, g, apply_raw=op)
-            apply_a = operators.constrain_operator(op, mask)
+            # Row-constrained formulation: BC values ride on the warm start,
+            # the g-correction folds into FGMRES's own initial residual —
+            # one operator application per solve instead of two.
+            b_hat = jnp.where(mask, g, b)
+            x0 = jnp.where(mask, g, x0)
+            apply_a = operators.row_constrain_operator(op, mask)
 
             def vel_apply(z):
                 zf = jnp.where(mask, 0.0, z.at[n_u:].set(0.0))

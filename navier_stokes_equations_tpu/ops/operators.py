@@ -65,6 +65,22 @@ def constrain_operator(apply_raw, mask):
     return apply
 
 
+def row_constrain_operator(apply_raw, mask):
+    """Row-only constrained operator A_row = P A + (I - P).
+
+    With a warm start carrying the boundary values g on the constrained
+    rows, the initial FGMRES residual r0 = P(b - A x0) already contains the
+    constraint correction -A g — so the separate ``constrained_rhs``
+    operator application is not needed.  All later Krylov vectors have zero
+    constrained rows (P A v does), on which A_row coincides with A_hat.
+    """
+
+    def apply(x):
+        return jnp.where(mask, x, apply_raw(x))
+
+    return apply
+
+
 def constrained_rhs(fe: FEArrays, A_e, b, mask, g, apply_raw=None):
     """b_hat = P (b - A g) + g with g the boundary-value vector."""
     if apply_raw is None:
