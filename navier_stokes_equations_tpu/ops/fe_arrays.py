@@ -204,7 +204,7 @@ def _bucketed_transpose_map(
 def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays:
     """Host-side construction of all static tables."""
     dim = mesh.dim
-    rule = quad.simplex_rule(dim, n_q1d)
+    rule = quad.simplex_rule(dim, n_q1d, compact=True)
     t2 = el.shape_tables(dim, 2, rule.points)
     t1 = el.shape_tables(dim, 1, rule.points)
 

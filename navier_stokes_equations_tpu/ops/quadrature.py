@@ -122,11 +122,42 @@ def tetrahedron_rule(n_points_1d: int) -> QuadratureRule:
     return QuadratureRule(points=np.array(pts), weights=np.array(wts))
 
 
-def simplex_rule(dim: int, n_points_1d: int) -> QuadratureRule:
-    """Volume rule on the reference simplex of dimension ``dim``."""
+def triangle_rule_radon7() -> QuadratureRule:
+    """Radon's symmetric 7-point rule, exact to total degree 5.
+
+    Point-count-minimal alternative to the 9-point conical product (same
+    exactness class): every polynomial bilinear form of the P2/P1 solver
+    integrates identically, with 22% fewer quadrature points — the per-apply
+    interpolation/integration einsums all scale with nq.
+    """
+    s15 = np.sqrt(15.0)
+    a1 = (6.0 - s15) / 21.0
+    a2 = (6.0 + s15) / 21.0
+    w0 = 9.0 / 40.0
+    w1 = (155.0 - s15) / 1200.0
+    w2 = (155.0 + s15) / 1200.0
+    pts = [(1.0 / 3.0, 1.0 / 3.0)]
+    wts = [w0]
+    for a, w in ((a1, w1), (a2, w2)):
+        b = 1.0 - 2.0 * a
+        pts += [(a, a), (b, a), (a, b)]
+        wts += [w, w, w]
+    # Normalized weights sum to 1; scale by the reference-triangle area 1/2.
+    return QuadratureRule(points=np.array(pts), weights=0.5 * np.array(wts))
+
+
+def simplex_rule(dim: int, n_points_1d: int, compact: bool = False) -> QuadratureRule:
+    """Volume rule on the reference simplex of dimension ``dim``.
+
+    ``compact=True`` substitutes a point-count-minimal symmetric rule of the
+    same polynomial exactness (degree 2 n_points_1d - 1) when one is
+    available; otherwise falls back to the conical product.
+    """
     if dim == 1:
         return segment_rule(n_points_1d)
     if dim == 2:
+        if compact and n_points_1d == 3:
+            return triangle_rule_radon7()
         return triangle_rule(n_points_1d)
     if dim == 3:
         return tetrahedron_rule(n_points_1d)

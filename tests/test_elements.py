@@ -87,3 +87,16 @@ def test_face_points_map():
     # Face (1,2) of ref triangle connects (1,0) and (0,1).
     np.testing.assert_allclose(mapped[0], [0.75, 0.25], atol=1e-14)
     np.testing.assert_allclose(mapped[1], [0.5, 0.5], atol=1e-14)
+
+
+def test_radon7_degree5_exactness():
+    """Compact 7-point triangle rule integrates all monomials of degree <=5."""
+    from math import factorial
+
+    r = quad.triangle_rule_radon7()
+    assert r.num_points == 7
+    for a in range(6):
+        for b in range(6 - a):
+            exact = factorial(a) * factorial(b) / factorial(a + b + 2)
+            got = float((r.weights * r.points[:, 0] ** a * r.points[:, 1] ** b).sum())
+            assert abs(got - exact) < 1e-14, (a, b)
