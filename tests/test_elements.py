@@ -100,3 +100,20 @@ def test_radon7_degree5_exactness():
             exact = factorial(a) * factorial(b) / factorial(a + b + 2)
             got = float((r.weights * r.points[:, 0] ** a * r.points[:, 1] ** b).sum())
             assert abs(got - exact) < 1e-14, (a, b)
+
+
+def test_tet15_degree5_exactness():
+    """Compact 15-point tet rule integrates all monomials of degree <=5."""
+    from math import factorial
+
+    r = quad.tetrahedron_rule_15pt()
+    assert r.num_points == 15
+    assert (r.weights > 0).all()
+    for i in range(6):
+        for j in range(6 - i):
+            for k in range(6 - i - j):
+                exact = factorial(i) * factorial(j) * factorial(k) / factorial(i + j + k + 3)
+                got = float(
+                    (r.weights * r.points[:, 0] ** i * r.points[:, 1] ** j * r.points[:, 2] ** k).sum()
+                )
+                assert abs(got - exact) < 1e-14, (i, j, k)
