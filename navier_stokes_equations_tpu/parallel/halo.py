@@ -1,0 +1,263 @@
+"""Halo-exchange domain decomposition: the TRUE distributed-memory layout.
+
+The element-sharded SPMD path (``parallel/sharding.py``) replicates DoF
+vectors and accumulates with an all-reduce — simple and correct, but its
+communication volume is O(n_dofs) per operator application.  This module
+implements the scalable layout the reference gets from deal.II's ghosted
+vectors (reference: NavierStokes.cpp:205-220 owned/relevant IndexSets,
+1053-1056 ghost import, 527-528 compress(add)):
+
+  * elements are partitioned into P contiguous strips along the flow
+    direction (channel geometry => each strip borders only its neighbors);
+  * every DoF is OWNED by the first strip that touches it, so a strip's
+    ghost (halo) DoFs all come from its LEFT neighbor and its boundary-layer
+    owned DoFs are read only by its RIGHT neighbor;
+  * one operator application communicates two halo-sized messages per
+    shard over ICI via ``jax.lax.ppermute`` — the ghost *import* of the
+    trial vector (right-moving) and the ghost *export* of accumulated
+    partial sums (left-moving, the ``compress(add)``).  Communication
+    volume is O(interface), not O(n_dofs).
+
+Static, padded layout (shapes equal across shards so one program serves
+all): per-shard owned/halo id lists, element connectivity in local ids, a
+local transpose accumulation map (gather+sum — same TPU-native trick as the
+single-chip path), and the boundary-layer send list.
+
+The matvec here is the element-matrix operator y = sum_e P_e^T A_e P_e x —
+the same operator ``operators.apply_element_matrices`` applies on one chip;
+equivalence is asserted in tests/test_halo.py on an 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.fe_arrays import FEArrays, _transpose_map
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloDecomposition:
+    """Static per-shard arrays, stacked along a leading shard axis."""
+
+    # --- data fields (leading dim = n_shards, sharded over the mesh) ----
+    owned_ids: Any  # (P, n_own_max) global dof ids, sentinel n_dofs
+    elem_dofs_loc: Any  # (P, n_el_loc, nd) local ids into [0, n_loc)
+    acc_gather: Any  # (P, n_loc, w) transpose map into (n_el_loc*nd,)
+    send_idx: Any  # (P, n_halo_max) owned-local positions read by the right neighbor
+    n_own: Any  # (P,) actual owned counts
+    elem_slice: Any  # (P, n_el_loc) global element ids (sentinel n_el)
+
+    # --- static metadata -------------------------------------------------
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    n_own_max: int = dataclasses.field(metadata=dict(static=True))
+    n_halo_max: int = dataclasses.field(metadata=dict(static=True))
+    n_el_loc: int = dataclasses.field(metadata=dict(static=True))
+    n_dofs: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(default="shard", metadata=dict(static=True))
+
+    @property
+    def n_loc(self) -> int:
+        return self.n_own_max + self.n_halo_max
+
+
+def build_halo_decomposition(fe: FEArrays, n_shards: int, axis: str = "shard") -> HaloDecomposition:
+    """Host-side construction.  Elements must already be ordered in
+    contiguous spatial strips (``sharding.partition_mesh`` does this for
+    channel geometries); raises if any shard needs halo from a non-left
+    neighbor (i.e. the strip property does not hold).
+
+    Limitation (round-2 item): equal-count strips on strongly graded meshes
+    can be thinner than the coarsest elements near them, producing two-hop
+    halos; such meshes need geometric-width strips with per-strip padding
+    (or a general neighbor-list exchange).  The uniform-refinement meshes
+    used for scaling runs satisfy the one-hop property as-is.
+    """
+    elem_dofs = np.asarray(fe.elem_dofs)
+    n_el, nd = elem_dofs.shape
+    n_dofs = fe.n_dofs
+    if n_el % n_shards:
+        raise ValueError(f"n_el={n_el} not divisible by {n_shards} shards")
+    n_el_loc = n_el // n_shards
+
+    # Padded elements (|det J| = 0, appended by pad_elements) reference node
+    # 0 wherever it lives; exclude them from ownership/halo and point their
+    # local connectivity at this shard's first owned dof (contributions are
+    # identically zero).
+    pad_elem = np.asarray(fe.jxw).sum(axis=1) == 0.0
+
+    owner = np.full(n_dofs, -1, np.int64)
+    touched = []
+    for s in range(n_shards):
+        sl = slice(s * n_el_loc, (s + 1) * n_el_loc)
+        real = elem_dofs[sl][~pad_elem[sl]]
+        dofs_s = np.unique(real) if len(real) else np.zeros((0,), np.int64)
+        touched.append(dofs_s)
+        newly = dofs_s[owner[dofs_s] < 0]
+        owner[newly] = s
+    # Dofs touched only by padded elements (none in practice) -> shard 0.
+    owner[owner < 0] = 0
+
+    owned = [np.where(owner == s)[0] for s in range(n_shards)]
+    halos = []
+    for s in range(n_shards):
+        h = touched[s][owner[touched[s]] != s]
+        if len(h) and not (owner[h] == s - 1).all():
+            raise ValueError(
+                "halo crosses more than one strip boundary — element order "
+                "is not a contiguous strip partition"
+            )
+        halos.append(h)
+
+    n_own_max = max(len(o) for o in owned)
+    n_halo_max = max((len(h) for h in halos), default=1) or 1
+
+    owned_ids = np.full((n_shards, n_own_max), n_dofs, np.int32)
+    send_idx = np.zeros((n_shards, n_halo_max), np.int32)
+    elem_dofs_loc = np.zeros((n_shards, n_el_loc, nd), np.int32)
+    acc_w = 0
+    acc_list = []
+    n_loc = n_own_max + n_halo_max
+    for s in range(n_shards):
+        owned_ids[s, : len(owned[s])] = owned[s]
+        # Local id: owned dofs at their position in owned[s], halo dofs after.
+        loc_of = {int(d): i for i, d in enumerate(owned[s])}
+        for i, d in enumerate(halos[s]):
+            loc_of[int(d)] = n_own_max + i
+        sl = slice(s * n_el_loc, (s + 1) * n_el_loc)
+        eds = elem_dofs[sl].copy()
+        eds[pad_elem[sl]] = owned[s][0] if len(owned[s]) else 0
+        elem_dofs_loc[s] = np.vectorize(lambda d: loc_of.get(int(d), 0))(eds)
+        # The right neighbor's halo dofs are owned here: record their
+        # positions in MY owned list, in the right neighbor's halo order.
+        if s + 1 < n_shards and len(halos[s + 1]):
+            send_idx[s, : len(halos[s + 1])] = [loc_of[int(d)] for d in halos[s + 1]]
+        tm = _transpose_map(elem_dofs_loc[s], n_loc)
+        acc_list.append(tm)
+        acc_w = max(acc_w, tm.shape[1])
+    acc_gather = np.full((n_shards, n_loc, acc_w), n_el_loc * nd, np.int32)
+    for s, tm in enumerate(acc_list):
+        acc_gather[s, :, : tm.shape[1]] = tm
+
+    elem_slice = np.arange(n_el, dtype=np.int32).reshape(n_shards, n_el_loc)
+    n_own = np.array([len(o) for o in owned], np.int32)
+
+    return HaloDecomposition(
+        owned_ids=jnp.asarray(owned_ids),
+        elem_dofs_loc=jnp.asarray(elem_dofs_loc),
+        acc_gather=jnp.asarray(acc_gather),
+        send_idx=jnp.asarray(send_idx),
+        n_own=jnp.asarray(n_own),
+        elem_slice=jnp.asarray(elem_slice),
+        n_shards=n_shards,
+        n_own_max=n_own_max,
+        n_halo_max=n_halo_max,
+        n_el_loc=n_el_loc,
+        n_dofs=n_dofs,
+        axis=axis,
+    )
+
+
+def shard_decomposition(decomp: HaloDecomposition, mesh: Mesh) -> HaloDecomposition:
+    """Place every per-shard array with its leading axis over the device mesh."""
+    spec = NamedSharding(mesh, P(decomp.axis))
+    updates = {}
+    for f in dataclasses.fields(decomp):
+        if f.metadata.get("static"):
+            continue
+        updates[f.name] = jax.device_put(getattr(decomp, f.name), spec)
+    return dataclasses.replace(decomp, **updates)
+
+
+def scatter_owned(decomp: HaloDecomposition, x_global):
+    """Replicated global vector -> (P, n_own_max) owned blocks (+0 padding)."""
+    xg = jnp.concatenate([x_global, jnp.zeros((1,), x_global.dtype)])
+    return xg[decomp.owned_ids]
+
+
+def gather_global(decomp: HaloDecomposition, x_owned):
+    """(P, n_own_max) owned blocks -> replicated global vector."""
+    flat_ids = decomp.owned_ids.reshape(-1)
+    return (
+        jnp.zeros((decomp.n_dofs + 1,), x_owned.dtype)
+        .at[flat_ids]
+        .set(x_owned.reshape(-1))[:-1]
+    )
+
+
+def _right_perm(n, axis_size):
+    return [(i, i + 1) for i in range(axis_size - 1)]
+
+
+def _left_perm(n, axis_size):
+    return [(i + 1, i) for i in range(axis_size - 1)]
+
+
+def halo_matvec(decomp: HaloDecomposition, A_e_loc, elem_dofs_loc, acc_gather, send_idx, x_own):
+    """Per-shard body of y = A x (call inside shard_map; all args local).
+
+    x_own: (n_own_max,) this shard's owned values.
+    Returns y_own: (n_own_max,) fully accumulated owned result.
+    """
+    ax = decomp.axis
+    n_sh = decomp.n_shards
+
+    # 1. ghost import: boundary-layer owned values -> right neighbor's halo.
+    send_vals = x_own[send_idx]  # (n_halo_max,)
+    x_halo = jax.lax.ppermute(send_vals, ax, _right_perm(None, n_sh))
+    x_loc = jnp.concatenate([x_own, x_halo])
+
+    # 2. local element kernel + transpose-map accumulation (owned + halo rows).
+    x_e = x_loc[elem_dofs_loc]  # (n_el_loc, nd)
+    y_e = jnp.einsum("eij,ej->ei", A_e_loc, x_e)
+    flat = jnp.concatenate([y_e.reshape(-1), jnp.zeros((1,), y_e.dtype)])
+    y_loc = flat[acc_gather].sum(axis=1)  # (n_loc,)
+
+    # 3. ghost export (compress(add)): halo partials -> left owner.
+    halo_part = y_loc[decomp.n_own_max :]
+    recv = jax.lax.ppermute(halo_part, ax, _left_perm(None, n_sh))
+    y_own = y_loc[: decomp.n_own_max].at[send_idx].add(recv)
+    return y_own
+
+
+def make_halo_operator(decomp: HaloDecomposition, device_mesh: Mesh):
+    """Return apply(A_e, x_owned) -> y_owned, shard_mapped over the mesh.
+
+    ``A_e``: (n_el, nd, nd) element matrices (element-axis sharded),
+    ``x_owned``: (P, n_own_max).  Each application moves two halo-sized
+    ppermute messages per shard — no O(n_dofs) collectives.
+    """
+    ax = decomp.axis
+
+    def body(A_e, elem_dofs_loc, acc_gather, send_idx, x_own):
+        y = halo_matvec(
+            decomp,
+            A_e[0],
+            elem_dofs_loc[0],
+            acc_gather[0],
+            send_idx[0],
+            x_own[0],
+        )
+        return y[None]
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+        out_specs=P(ax),
+    )
+
+    def apply(A_e, x_owned):
+        n_el_shaped = A_e.reshape(decomp.n_shards, decomp.n_el_loc, *A_e.shape[1:])
+        return mapped(
+            n_el_shaped, decomp.elem_dofs_loc, decomp.acc_gather, decomp.send_idx, x_owned
+        )
+
+    return apply

@@ -1,0 +1,77 @@
+"""Halo-exchange SPMD: distributed matvec == single-device matvec.
+
+The halo layout is the scalable analog of the reference's ghosted vectors +
+compress(add) (reference: NavierStokes.cpp:205-220, 527-528): per-shard
+owned/ghost DoFs, neighbor-only ppermute messages, O(interface) traffic.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_equations_tpu.mesh import generators, taylor_hood
+from navier_stokes_equations_tpu.models import test_cases
+from navier_stokes_equations_tpu.ops import assembly, fe_arrays, operators
+from navier_stokes_equations_tpu.parallel import halo, sharding
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    # Uniform channel: equal-count RCB strips are geometric strips, so the
+    # one-hop halo property holds.  (Strongly graded meshes need the
+    # geometric strip partitioner — see halo.py docstring / round-2 note.)
+    mesh = taylor_hood.build(generators.rect_2d(2.2, 0.41, 96, 18))
+    mesh = sharding.partition_mesh(mesh, N_DEV)
+    mesh = taylor_hood.pad_elements(mesh, N_DEV)
+    fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float64)
+    params = assembly.StepParams(
+        dt=0.01, theta=0.5, nu=1e-3, rho=1.0, gamma=0.1, use_supg=False
+    )
+    rng = np.random.default_rng(3)
+    u_star = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    A_e, _ = assembly.oseen_system(fe, params, u_star, u_star)
+    return mesh, fe, A_e
+
+
+def test_halo_decomposition_covers_all_dofs(setup):
+    mesh, fe, A_e = setup
+    d = halo.build_halo_decomposition(fe, N_DEV)
+    owned = np.asarray(d.owned_ids)
+    real = owned[owned < fe.n_dofs]
+    assert len(real) == fe.n_dofs
+    assert len(np.unique(real)) == fe.n_dofs  # disjoint ownership
+    # Halo is a small interface layer, not a copy of the domain.
+    assert d.n_halo_max < fe.n_dofs // N_DEV
+
+
+def test_halo_matvec_matches_single_device(setup):
+    mesh, fe, A_e = setup
+    d = halo.build_halo_decomposition(fe, N_DEV)
+    dev_mesh = sharding.make_device_mesh(N_DEV, axis=d.axis)
+    d_sh = halo.shard_decomposition(d, dev_mesh)
+    apply_halo = halo.make_halo_operator(d_sh, dev_mesh)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(fe.n_dofs))
+    y_ref = operators.apply_element_matrices(fe, A_e, x)
+
+    x_own = halo.scatter_owned(d_sh, x)
+    y_own = jax.jit(apply_halo)(A_e, x_own)
+    y = halo.gather_global(d_sh, y_own)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-12, atol=1e-12)
+
+
+def test_halo_roundtrip(setup):
+    mesh, fe, A_e = setup
+    d = halo.build_halo_decomposition(fe, N_DEV)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(fe.n_dofs))
+    x2 = halo.gather_global(d, halo.scatter_owned(d, x))
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=0, atol=0)
