@@ -141,7 +141,7 @@ class NavierStokesSolver:
 
     def _solve_linear(
         self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None,
-        diag=None,
+        diag=None, nodeblock_inv=None,
     ):
         """Constrain, precondition and solve one linear system.
 
@@ -179,6 +179,7 @@ class NavierStokesSolver:
             vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
             vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
             vel_apply=vel_apply, div_apply=div_apply, diag=diag,
+            nodeblock_inv=nodeblock_inv,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
@@ -251,10 +252,22 @@ class NavierStokesSolver:
             mask = self.dirichlet.mask
             diag = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
             diag = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+            nodeblock_inv = None
+            if cfg.precond_vel_method == "nodeblock":
+                Bn = assembly.oseen_nodeblock_diag(fe, params, u_star)
+                Bacc = fe.accumulate_nodes(
+                    Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
+                ).reshape(fe.n_vnodes, fe.dim, fe.dim)
+                mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
+                either = mu[:, :, None] | mu[:, None, :]
+                eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
+                Bacc = jnp.where(either, eye, Bacc)
+                nodeblock_inv = assembly.invert_spd_blocks(Bacc)
             op = matfree.make_system_operator(fe, params, u_star)
             res = self._solve_linear(
                 fe, pops, None, b, g, dt_att, th, x_start,
                 cfg.gmres_maxiter_linear, op=op, diag=diag,
+                nodeblock_inv=nodeblock_inv,
             )
         else:
             A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)

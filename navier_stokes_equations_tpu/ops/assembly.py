@@ -234,6 +234,70 @@ def oseen_rhs_diag(
     return diag_e, _vel_rhs_to_element(fe, b_v)
 
 
+def oseen_nodeblock_diag(fe: FEArrays, params: StepParams, u_star):
+    """Per-node dim x dim diagonal blocks of the Oseen velocity operator.
+
+    B[e, a, d, f] = delta_df * (M/dt + theta nu K + theta C + SUPG)_aa
+                    + gamma * int (d_d phi_a)(d_f phi_a)        [grad-div]
+
+    Scalar Jacobi ignores the grad-div component coupling (gamma = 0.1,
+    reference: cpp:463,793), which degrades the 3D preconditioner; the
+    3 x 3 node blocks capture it at negligible cost (accumulated once per
+    step via width-9 row gathers, inverted in closed form).
+    """
+    g2 = fe.phys_grads_p2()
+    ustar_e = fe.gather_u(u_star)
+    ustar_q = _interp_u(fe, ustar_e)
+    dt, theta, nu = params.dt, params.theta, params.nu
+
+    adv_a = jnp.einsum("eqd,eqad->eqa", ustar_q, g2)
+    mass_d = jnp.einsum("eq,qa,qa->ea", fe.jxw, fe.p2_val, fe.p2_val)
+    stiff_d = jnp.einsum("eq,eqad,eqad->ea", fe.jxw, g2, g2)
+    conv_d = jnp.einsum("eq,qa,eqa->ea", fe.jxw, fe.p2_val, adv_a)
+    scal = mass_d / dt + theta * nu * stiff_d + theta * conv_d
+    eye = jnp.eye(fe.dim, dtype=scal.dtype)
+    B = scal[:, :, None, None] * eye
+    if params.use_supg:
+        tau = _supg_tau(fe, params, ustar_q)
+        test = tau[:, :, None] * adv_a
+        op_a = fe.p2_val[None, :, :] / dt + adv_a
+        B = B + jnp.einsum("eq,eqa,eqa->ea", fe.jxw, test, op_a)[:, :, None, None] * eye
+        B = B + params.gamma * jnp.einsum("eq,eqad,eqaf->eadf", fe.jxw, g2, g2)
+    return B
+
+
+def invert_spd_blocks(B):
+    """Closed-form inverse of batched 2x2 / 3x3 blocks (adjugate rule)."""
+    d = B.shape[-1]
+    if d == 2:
+        a, b = B[..., 0, 0], B[..., 0, 1]
+        c, e = B[..., 1, 0], B[..., 1, 1]
+        det = a * e - b * c
+        inv = jnp.stack(
+            [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+        ) / det[..., None, None]
+        return inv
+    c00 = B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1]
+    c01 = B[..., 0, 2] * B[..., 2, 1] - B[..., 0, 1] * B[..., 2, 2]
+    c02 = B[..., 0, 1] * B[..., 1, 2] - B[..., 0, 2] * B[..., 1, 1]
+    c10 = B[..., 1, 2] * B[..., 2, 0] - B[..., 1, 0] * B[..., 2, 2]
+    c11 = B[..., 0, 0] * B[..., 2, 2] - B[..., 0, 2] * B[..., 2, 0]
+    c12 = B[..., 0, 2] * B[..., 1, 0] - B[..., 0, 0] * B[..., 1, 2]
+    c20 = B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0]
+    c21 = B[..., 0, 1] * B[..., 2, 0] - B[..., 0, 0] * B[..., 2, 1]
+    c22 = B[..., 0, 0] * B[..., 1, 1] - B[..., 0, 1] * B[..., 1, 0]
+    det = B[..., 0, 0] * c00 + B[..., 0, 1] * c10 + B[..., 0, 2] * c20
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c10, c11, c12], -1),
+            jnp.stack([c20, c21, c22], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
 def newton_system(
     fe: FEArrays,
     params: StepParams,

@@ -62,6 +62,7 @@ class FEArrays:
     # Measured on mesh-2D-100: 9.2 ms -> 5.0 ms per accumulation.
     dof_gather: Any  # tuple of (range_len, w_r) int32 maps covering [0, n_dofs)
     p_gather: Any  # tuple of (range_len, w_r) int32 maps covering [0, n_p)
+    node_gather: Any  # tuple of maps covering [0, n_vnodes) into (n_el*n2,)
 
     # --- static metadata ------------------------------------------------
     dim: int = dataclasses.field(metadata=dict(static=True))
@@ -133,6 +134,20 @@ class FEArrays:
             return jnp.zeros((self.n_p,), yp_e.dtype).at[self.elems_p1].add(yp_e)
         flat = jnp.concatenate([yp_e.reshape(-1), jnp.zeros((1,), yp_e.dtype)])
         return jnp.concatenate([flat[g].sum(axis=1) for g in self.p_gather])
+
+    def accumulate_nodes(self, y_e):
+        """(n_el, n2, k) per-node contributions -> (n_vnodes, k).
+
+        Row-gathers of width k (TPU gather cost is per slot, so k rides
+        nearly free); used for node-block preconditioner diagonals.
+        """
+        k = y_e.shape[-1]
+        if not self.use_gather_scatter:
+            return jnp.zeros((self.n_vnodes, k), y_e.dtype).at[self.elems_p2].add(y_e)
+        flat = jnp.concatenate(
+            [y_e.reshape(-1, k), jnp.zeros((1, k), y_e.dtype)], axis=0
+        )
+        return jnp.concatenate([flat[g].sum(axis=1) for g in self.node_gather])
 
 
 def _transpose_map(elem_entries: np.ndarray, n_targets: int) -> np.ndarray:
@@ -238,6 +253,7 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
     bounds.append(dim * nv)
     dof_gather = _bucketed_transpose_map(elem_dofs, n_dofs, bounds)
     p_gather = _bucketed_transpose_map(mesh.elems_p1, mesh.n_vertices, [])
+    node_gather = _bucketed_transpose_map(mesh.elems_p2, nv, [mesh.n_vertices])
 
     f = lambda a: jnp.asarray(a, dtype)
     return FEArrays(
@@ -257,6 +273,7 @@ def build_fe_arrays(mesh: THMesh, n_q1d: int = 3, dtype=jnp.float32) -> FEArrays
         mp_e=f(mp_e),
         dof_gather=tuple(jnp.asarray(g) for g in dof_gather),
         p_gather=tuple(jnp.asarray(g) for g in p_gather),
+        node_gather=tuple(jnp.asarray(g) for g in node_gather),
         dim=dim,
         n_el=mesh.n_el,
         nq=rule.num_points,

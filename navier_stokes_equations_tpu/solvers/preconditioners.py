@@ -150,6 +150,7 @@ def make_cahouet_chabard(
     vel_apply: Callable | None = None,
     div_apply: Callable | None = None,
     diag=None,
+    nodeblock_inv=None,  # (n_vnodes, dim, dim) for vel_method="nodeblock"
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -182,6 +183,13 @@ def make_cahouet_chabard(
         r_u = r.at[n_u:].set(0.0)
         if vel_method == "chebyshev":
             z = chebyshev.chebyshev(vel_apply, r_u, diag, lmax, degree=vel_degree)
+        elif vel_method == "nodeblock":
+            # dim x dim node-diagonal blocks: captures the grad-div /
+            # SUPG component coupling that scalar Jacobi ignores.
+            nv = nodeblock_inv.shape[0]
+            ru = r[:n_u].reshape(fe.dim, nv)
+            zu = jnp.einsum("ndf,fn->dn", nodeblock_inv, ru).reshape(-1)
+            z = jnp.concatenate([zu, jnp.zeros((fe.n_dofs - n_u,), r.dtype)])
         else:
             z = r_u / diag
             for _ in range(max(vel_sweeps - 1, 0)):

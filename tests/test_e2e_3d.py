@@ -75,3 +75,26 @@ def test_3d_force_direction(coarse3d):
     # (the identity is exact on the polygon itself).
     assert float(cdz) * den == pytest.approx(-V, rel=0.15)
     assert abs(float(clz)) < 1e-8
+
+
+def test_3d_nodeblock_preconditioner_equivalent():
+    """vel_method='nodeblock' (3x3 node-diagonal blocks incl. grad-div
+    coupling) converges to the same physics as scalar Jacobi."""
+    import dataclasses
+
+    from navier_stokes_equations_tpu.mesh import generators, taylor_hood
+    from navier_stokes_equations_tpu.models import solver, test_cases
+
+    mesh = taylor_hood.build(generators.channel_cylinder_3d(0.14, 0.06))
+    results = {}
+    for vm in ("jacobi", "nodeblock"):
+        cfg = dataclasses.replace(
+            test_cases.make("3D-2Z"), dtype="float64", precond_vel_method=vm
+        )
+        s = solver.NavierStokesSolver(cfg, mesh)
+        st = s.initial_state()
+        for _ in range(2):
+            st, m = s.step(st)
+        assert bool(m.converged)
+        results[vm] = float(m.drag)
+    assert abs(results["jacobi"] - results["nodeblock"]) < 1e-6
