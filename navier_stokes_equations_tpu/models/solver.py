@@ -507,17 +507,32 @@ class NavierStokesSolver:
         for _ in range(n):
             t0 = _time.perf_counter()
             state, m = self.step(state)
-            jax.block_until_ready(m.drag)
+            # ONE device->host transfer for all metrics: each pull pays a
+            # full round-trip over the (possibly remote) device link.
+            vals = np.asarray(
+                jnp.stack(
+                    [
+                        m.time.astype(jnp.float32),
+                        m.drag.astype(jnp.float32),
+                        m.lift.astype(jnp.float32),
+                        m.delta_p.astype(jnp.float32),
+                        m.gmres_iters.astype(jnp.float32),
+                        m.newton_iters.astype(jnp.float32),
+                        m.converged.astype(jnp.float32),
+                        state.step.astype(jnp.float32),
+                    ]
+                )
+            )
             wall = _time.perf_counter() - t0
             rec = {
-                "step": int(state.step),
-                "time": float(m.time),
-                "Cd": float(m.drag),
-                "Cl": float(m.lift),
-                "DeltaP": float(m.delta_p),
-                "gmres_iters": int(m.gmres_iters),
-                "newton_iters": int(m.newton_iters),
-                "converged": bool(m.converged),
+                "step": int(vals[7]),
+                "time": float(vals[0]),
+                "Cd": float(vals[1]),
+                "Cl": float(vals[2]),
+                "DeltaP": float(vals[3]),
+                "gmres_iters": int(vals[4]),
+                "newton_iters": int(vals[5]),
+                "converged": bool(vals[6]),
                 "wall": wall,
             }
             # Instantaneous Re for sin(pi t/8)-modulated inlets
@@ -538,19 +553,54 @@ class NavierStokesSolver:
                 on_step(state, rec)
         return state, history
 
-    def run_async(self, n_steps: int, state: Optional[State] = None):
-        """Dispatch n jitted steps without host synchronization.
+    def run_async(self, n_steps: int, state: Optional[State] = None, window: int = 1):
+        """Optimistically pipelined stepping: ``window`` nominal-dt attempts
+        are dispatched without host synchronization, then all their
+        convergence flags are read in ONE device->host transfer (each pull
+        pays a full round-trip over the device link).  On the rare
+        non-converged attempt, the run rewinds to the last good state and
+        replays that step through the full host-side retry ladder —
+        identical accepted-state sequence to the per-step loop.
 
-        The benchmark path: the Python loop only enqueues async device work
-        (each step is one compiled program); the caller syncs once at the
-        end.  Returns (final_state, metrics_of_last_step).
+        Returns (final_state, metrics_of_last_step).
+
+        Default window=1 (the plain per-step loop): on axon-tunneled TPUs
+        the deferred-execution replay of an unsynchronized window measures
+        ~15% SLOWER than per-step synchronous pulls, so windowing only pays
+        on locally-attached devices.
         """
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
-        m = None
-        for _ in range(n_steps):
-            state, m = self.step(state)
-        return state, m
+        if self.cfg.nonlinear_method == NonlinearMethod.NEWTON or window <= 1:
+            m = None
+            for _ in range(n_steps):
+                state, m = self.step(state)
+            return state, m
+
+        import numpy as _np
+
+        m_last = None
+        done = 0
+        while done < n_steps:
+            w = min(window, n_steps - done)
+            saved = []
+            metrics = []
+            st = state
+            for _ in range(w):
+                saved.append(st)
+                st, m = self._attempt_jit(st, self._k_consts[0], self.fe, self.pressure_ops)
+                metrics.append(m)
+            flags = _np.asarray(jnp.stack([m.converged for m in metrics]))
+            if flags.all():
+                state, m_last = st, metrics[-1]
+                done += w
+            else:
+                j = int(_np.argmax(~flags))  # first failed attempt
+                state = saved[j]
+                done += j
+                state, m_last = self.step(state)  # full retry ladder
+                done += 1
+        return state, m_last
 
     def run_scan(self, n_steps: int, state: Optional[State] = None):
         """lax.scan time loop (single compiled program for the whole run).
