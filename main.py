@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--rtol", type=float, default=None, help="GMRES stopping tolerance override")
     p.add_argument("--no-warm-start", action="store_true", help="zero GMRES initial guess (reference behavior)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="wrap the run in a jax.profiler device trace (view in TensorBoard)",
+    )
     return p.parse_args(argv)
 
 
@@ -114,7 +119,13 @@ def main(argv=None):
             ckpt.save(os.path.join(args.output_dir, "checkpoint.npz"), st)
 
     n = args.steps if args.steps is not None else max(0, s.n_steps() - int(state.step))
-    state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+    if args.profile_dir:
+        from navier_stokes_equations_tpu.utils import timing
+
+        with timing.trace(args.profile_dir):
+            state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+    else:
+        state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
     logger.close()
     if not args.quiet:
         print("===============================================")
