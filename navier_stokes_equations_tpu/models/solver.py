@@ -93,6 +93,7 @@ class NavierStokesSolver:
         self.pressure_ops = preconditioners.build_pressure_operators(
             self.fe, pin, kp_regularization=cfg.kp_regularization,
             dense_max=cfg.precond_schur_dense_max,
+            coords=mesh.vertices,  # enables the two-grid Schur beyond dense_max
         )
         self.force_tables = functionals.build_force_tables(mesh, self.fe, dtype)
         self.probe_tables = functionals.build_probe_tables(mesh)

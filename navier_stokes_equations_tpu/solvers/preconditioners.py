@@ -41,14 +41,26 @@ class PressureOperators:
     The element matrices themselves stay in ``FEArrays`` (element-axis
     sharded on a device mesh); only the small global pressure-space vectors
     live here (replicated).
+
+    Three K_p^{-1} strategies by pressure-space size:
+      * ``dense``      — precomputed dense inverse (one MXU matmul/apply);
+      * ``two_level``  — aggregation two-grid: Jacobi smoothing + a dense
+                         coarse-aggregate inverse (the TPU-native stand-in
+                         for the reference's AMG, NavierStokes.hpp:344-352),
+                         for spaces too large to invert densely;
+      * fallback       — fixed-budget Jacobi-CG.
     """
 
     kp_diag: Any  # (n_p,) diagonal of the regularized K_p
     mp_lumped: Any  # (n_p,) row-sum lumped mass
     pin_mask: Any  # (n_p,) bool — outlet-pinned dofs
-    kp_inv: Any  # (n_p, n_p) dense inverse, or () when using CG
+    kp_inv: Any  # (n_p, n_p) dense inverse, or () when unused
+    agg_ids: Any  # (n_p,) int32 aggregate of each vertex (two_level), or ()
+    agg_gather: Any  # tuple of transpose maps for aggregate restriction, or ()
+    kc_inv: Any  # (n_c, n_c) dense coarse inverse (two_level), or ()
     eps: float = dataclasses.field(metadata=dict(static=True))
     dense: bool = dataclasses.field(metadata=dict(static=True))
+    two_level: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tpu_cache"):
@@ -91,8 +103,68 @@ def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tp
     return K_inv
 
 
+def _aggregate_vertices(coords: "np.ndarray", pin: "np.ndarray", target_size: int = 6):
+    """Spatial grid aggregation of pressure vertices (host, one-time).
+
+    Returns (agg_ids (n_p,) int32 with pinned vertices = -1, n_aggregates).
+    Grid cells are sized so aggregates hold ~target_size vertices; empty
+    cells are compressed away.
+    """
+    import numpy as np
+
+    n_p, dim = coords.shape
+    n_c_target = max(1, n_p // target_size)
+    lo = coords.min(axis=0)
+    span = coords.max(axis=0) - lo + 1e-12
+    # cells per axis proportional to extent, product ~ n_c_target
+    rel = span / span.prod() ** (1.0 / dim)
+    n_axis = np.maximum(1, np.round(rel * n_c_target ** (1.0 / dim))).astype(int)
+    cell = np.minimum(((coords - lo) / span * n_axis).astype(np.int64), n_axis - 1)
+    flat = cell[:, 0]
+    for d in range(1, dim):
+        flat = flat * n_axis[d] + cell[:, d]
+    flat[pin] = -1
+    uniq, inv = np.unique(flat, return_inverse=True)
+    # Reserve -1 (pinned) as aggregate -1.
+    has_pin = uniq[0] == -1
+    agg = inv - 1 if has_pin else inv
+    n_c = len(uniq) - (1 if has_pin else 0)
+    return agg.astype(np.int32), int(n_c)
+
+
+def _two_level_coarse_inverse(fe: FEArrays, kp_e, pin, agg, n_c, cache_dir="/tmp/ns_tpu_cache"):
+    """K_c = P0^T K_p P0 over aggregates, densely inverted (host, cached)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    ep = np.asarray(fe.elems_p1)
+    ke = np.asarray(kp_e, np.float64)
+    h = hashlib.sha1()
+    h.update(ep.tobytes())
+    h.update(np.asarray(ke, np.float32).tobytes())
+    h.update(agg.tobytes())
+    path = os.path.join(cache_dir, f"kcinv_{n_c}_{h.hexdigest()[:16]}.npy")
+    os.makedirs(cache_dir, exist_ok=True)
+    if os.path.exists(path):
+        return np.load(path)
+    Kc = np.zeros((n_c + 1, n_c + 1))
+    rows = agg[np.broadcast_to(ep[:, :, None], ke.shape)]
+    cols = agg[np.broadcast_to(ep[:, None, :], ke.shape)]
+    np.add.at(Kc, (rows, cols), ke)  # aggregate -1 lands in the last row/col
+    Kc = Kc[:n_c, :n_c]
+    Kc[np.arange(n_c), np.arange(n_c)] += 1e-12 * np.abs(Kc).max()
+    Kc_inv = np.linalg.inv(Kc).astype(np.float32)
+    tmp = path + ".tmp.npy"
+    np.save(tmp, Kc_inv)
+    os.replace(tmp, path)
+    return Kc_inv
+
+
 def build_pressure_operators(
-    fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0
+    fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0,
+    coords=None, two_level_min: int = 0,
 ) -> PressureOperators:
     kp_e = fe.kp_e + kp_regularization * fe.mp_e
     # Diagonal and lumped mass via scatter-add over pressure connectivity.
@@ -106,9 +178,28 @@ def build_pressure_operators(
 
     # Small pressure spaces: precompute the exact dense inverse of the
     # (pinned, regularized) Laplacian once — each preconditioner application
-    # is then a single MXU matmul instead of a chain of CG kernels.  This is
-    # a latency optimization for TPUs; large meshes use Jacobi-CG.
+    # is then a single MXU matmul instead of a chain of CG kernels.  Larger
+    # spaces use the aggregation two-grid (needs ``coords``); Jacobi-CG is
+    # the last fallback.
     dense = 0 < fe.n_p <= dense_max
+    two_level = (not dense) and coords is not None and fe.n_p > two_level_min
+    agg_ids = jnp.zeros(())
+    agg_gather = ()
+    kc_inv = jnp.zeros(())
+    if two_level:
+        import numpy as np
+
+        from ..ops.fe_arrays import _bucketed_transpose_map
+
+        agg, n_c = _aggregate_vertices(np.asarray(coords), np.asarray(pin_mask))
+        kc_inv = jnp.asarray(_two_level_coarse_inverse(fe, kp_e, pin_mask, agg, n_c))
+        # Restriction r_c = sum over vertices of each aggregate: transpose
+        # map over the (n_p, 1) "element" list (pinned -> sentinel).
+        verts = np.where(agg < 0, n_c, agg).astype(np.int64)[:, None]
+        agg_gather = tuple(
+            jnp.asarray(g) for g in _bucketed_transpose_map(verts, n_c + 1, [n_c])
+        )
+        agg_ids = jnp.asarray(np.where(agg < 0, n_c, agg).astype(np.int32))
     kp_inv = jnp.zeros(())
     if dense:
         # f32 storage is load-bearing: K_p^{-1} entries span many decades
@@ -121,7 +212,8 @@ def build_pressure_operators(
 
     return PressureOperators(
         kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask,
-        kp_inv=kp_inv, eps=kp_regularization, dense=dense,
+        kp_inv=kp_inv, agg_ids=agg_ids, agg_gather=agg_gather, kc_inv=kc_inv,
+        eps=kp_regularization, dense=dense, two_level=two_level,
     )
 
 
@@ -209,6 +301,29 @@ def make_cahouet_chabard(
                 t_free.astype(pops.kp_inv.dtype),
                 preferred_element_type=t_free.dtype,
             ).astype(t_free.dtype)
+        elif pops.two_level:
+            # Aggregation two-grid V-cycle: damped-Jacobi smooth, dense
+            # coarse solve on the MXU, damped-Jacobi post-smooth.
+            n_c = pops.kc_inv.shape[0]
+            omega = 0.8
+
+            def smooth(z, sweeps):
+                for _ in range(sweeps):
+                    r = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
+                    z = z + omega * r / pops.kp_diag
+                return z
+
+            z = omega * t_free / pops.kp_diag
+            z = smooth(z, 1)
+            r1 = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
+            flat = jnp.concatenate([r1, jnp.zeros((1,), r1.dtype)])
+            r_c = jnp.concatenate([flat[g].sum(axis=1) for g in pops.agg_gather])[:n_c]
+            z_c = jnp.matmul(
+                pops.kc_inv, r_c.astype(pops.kc_inv.dtype),
+                preferred_element_type=r_c.dtype,
+            ).astype(r_c.dtype)
+            z = z + jnp.concatenate([z_c, jnp.zeros((1,), z_c.dtype)])[pops.agg_ids]
+            kp_inv_t = smooth(z, 2)
         else:
             kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
         z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)

@@ -105,3 +105,30 @@ def test_steady_stokes(stack):
     cd, cl = functionals.lift_drag(fe, ftab, u, p, nu=nu, rho=1.0, U_m=U_m)
     assert 1.0 < float(cd) < 100.0
     assert abs(float(cl)) < 5.0
+
+
+def test_two_level_schur_converges_like_dense():
+    """Aggregation two-grid K_p^{-1} (the beyond-dense-limit path) drives the
+    same benchmark step to the same physics as the dense inverse."""
+    import dataclasses
+
+    from navier_stokes_equations_tpu.models import solver as slv
+    from navier_stokes_equations_tpu.models import test_cases
+
+    mesh_path = "/root/reference/meshes/mesh-2D.msh"
+    results = {}
+    for dm in (20000, 0):  # dense vs forced two-level
+        cfg = dataclasses.replace(
+            test_cases.make("2D-2", deltat=0.01),
+            dtype="float64",
+            precond_schur_dense_max=dm,
+        )
+        s = slv.NavierStokesSolver(cfg, mesh_path)
+        assert s.pressure_ops.dense == (dm > 0)
+        assert s.pressure_ops.two_level == (dm == 0)
+        st = s.initial_state()
+        for _ in range(3):
+            st, m = s.step(st)
+        assert bool(m.converged)
+        results[dm] = float(m.drag)
+    assert abs(results[20000] - results[0]) < 1e-5
