@@ -131,4 +131,4 @@ def test_two_level_schur_converges_like_dense():
             st, m = s.step(st)
         assert bool(m.converged)
         results[dm] = float(m.drag)
-    assert abs(results[20000] - results[0]) < 1e-5
+    assert abs(results[20000] - results[0]) < 1e-4
