@@ -227,6 +227,55 @@ def halo_matvec(decomp: HaloDecomposition, A_e_loc, elem_dofs_loc, acc_gather, s
     return y_own
 
 
+def halo_fgmres(
+    decomp: HaloDecomposition,
+    device_mesh: Mesh,
+    A_e,
+    b_global,
+    g_global,
+    mask_global,
+    x0_global=None,
+    restart: int = 64,
+    maxiter: int = 200,
+    rtol: float = 1e-6,
+):
+    """Right-preconditioned-free FGMRES over the HALO layout, end to end.
+
+    Only the matvec needs ``shard_map`` (ghost import/export via ppermute);
+    the Krylov vector algebra — axpys, CGS2 projections, norms — runs on
+    flat (P * n_own_max,) vectors block-sharded over the device mesh, with
+    XLA's SPMD partitioner inserting the psum for every dot product (the
+    analog of the implicit MPI reductions inside deal.II's GMRES).
+
+    Uses the row-constrained formulation (see ops/operators.py): boundary
+    values ride on the initial guess.  Padded owned slots carry zeros and
+    are never masked in, so they contribute nothing to any reduction.
+    Returns the solution as a replicated global vector.
+    """
+    from ..solvers import gmres as _gmres
+
+    apply_halo = make_halo_operator(decomp, device_mesh)
+    n_flat = decomp.n_shards * decomp.n_own_max
+    spec = NamedSharding(device_mesh, P(decomp.axis))
+
+    maskf = mask_global.astype(b_global.dtype)
+    mask_own = scatter_owned(decomp, maskf).reshape(-1) > 0.5
+    b_own = scatter_owned(decomp, jnp.where(mask_global, g_global, b_global)).reshape(-1)
+    x0 = jnp.where(mask_global, g_global, 0.0 if x0_global is None else x0_global)
+    x0_own = scatter_owned(decomp, x0).reshape(-1)
+    b_own = jax.device_put(b_own, spec)
+    x0_own = jax.device_put(x0_own, spec)
+
+    def apply_a(x_flat):
+        y = apply_halo(A_e, x_flat.reshape(decomp.n_shards, decomp.n_own_max))
+        return jnp.where(mask_own, x_flat, y.reshape(-1))
+
+    res = _gmres.fgmres(
+        apply_a, b_own, x0=x0_own, restart=restart, maxiter=maxiter, rtol=rtol
+    )
+    return gather_global(decomp, res.x.reshape(decomp.n_shards, decomp.n_own_max)), res
+
+
 def make_halo_operator(decomp: HaloDecomposition, device_mesh: Mesh):
     """Return apply(A_e, x_owned) -> y_owned, shard_mapped over the mesh.
 
