@@ -227,6 +227,69 @@ def halo_matvec(decomp: HaloDecomposition, A_e_loc, elem_dofs_loc, acc_gather, s
     return y_own
 
 
+def halo_cahouet_chabard(
+    decomp: HaloDecomposition,
+    apply_halo,
+    fe,
+    pops,
+    A_e,
+    mask_global,
+    diag_global,
+    dt,
+    theta,
+    nu,
+    rho,
+):
+    """Cahouet-Chabard preconditioner on the OWNED layout.
+
+    Same three steps as solvers/preconditioners.py (reference:
+    NavierStokes.hpp:279-366): Jacobi velocity solve, divergence of the
+    correction (taken from the pressure rows of one distributed matvec),
+    and the Schur action.  The dense K_p^{-1} is a replicated operation, so
+    the pressure residual is gathered to all shards first (dense/coarse
+    solves are replicated in distributed AMG stacks too); everything else
+    is owned-local.  Demonstration-grade: a production version would apply
+    only the divergence block instead of a full matvec.
+    """
+    n_u = fe.n_udofs
+    is_p = jnp.arange(fe.n_dofs) >= n_u
+    pinned_p = jnp.zeros((fe.n_dofs,), bool).at[n_u:].set(pops.pin_mask)
+
+    mask_own = scatter_owned(decomp, mask_global.astype(jnp.float32)).reshape(-1) > 0.5
+    isp_own = scatter_owned(decomp, is_p.astype(jnp.float32)).reshape(-1) > 0.5
+    pin_own = scatter_owned(decomp, pinned_p.astype(jnp.float32)).reshape(-1) > 0.5
+    diag_own = scatter_owned(decomp, diag_global).reshape(-1)
+    diag_own = jnp.where(jnp.abs(diag_own) > 1e-30, diag_own, 1.0)
+    mp_own = scatter_owned(
+        decomp, jnp.concatenate([jnp.ones((n_u,), pops.mp_lumped.dtype), pops.mp_lumped])
+    ).reshape(-1)
+    mp_own = jnp.where(jnp.abs(mp_own) > 1e-30, mp_own, 1.0)
+
+    def precond(r):
+        # step 1: Jacobi velocity solve.
+        r_u = jnp.where(isp_own, 0.0, r)
+        z_u = jnp.where(mask_own, 0.0, r_u / diag_own)
+        # step 2: t = r_p - B z_u (pressure rows of one distributed matvec).
+        y = apply_halo(A_e, z_u.reshape(decomp.n_shards, decomp.n_own_max)).reshape(-1)
+        t = jnp.where(isp_own, r - y, 0.0)
+        t_free = jnp.where(pin_own, 0.0, t)
+        # step 3: Schur action; the dense solve is replicated.
+        t_glob = gather_global(decomp, t_free.reshape(decomp.n_shards, decomp.n_own_max))
+        kp_inv_t = jnp.matmul(
+            pops.kp_inv, t_glob[n_u:].astype(pops.kp_inv.dtype),
+            preferred_element_type=t_glob.dtype,
+        ).astype(t_glob.dtype)
+        kinv_own = scatter_owned(
+            decomp, jnp.concatenate([jnp.zeros((n_u,), kp_inv_t.dtype), kp_inv_t])
+        ).reshape(-1)
+        z_p = -(rho / dt) * kinv_own - (theta * nu) * (t_free / mp_own)
+        z_p = jnp.where(pin_own, t, z_p)
+        z = jnp.where(isp_own, z_p, z_u)
+        return jnp.where(mask_own, r, z)
+
+    return precond
+
+
 def halo_fgmres(
     decomp: HaloDecomposition,
     device_mesh: Mesh,
@@ -238,6 +301,7 @@ def halo_fgmres(
     restart: int = 64,
     maxiter: int = 200,
     rtol: float = 1e-6,
+    precond=None,
 ):
     """Right-preconditioned-free FGMRES over the HALO layout, end to end.
 
@@ -271,7 +335,8 @@ def halo_fgmres(
         return jnp.where(mask_own, x_flat, y.reshape(-1))
 
     res = _gmres.fgmres(
-        apply_a, b_own, x0=x0_own, restart=restart, maxiter=maxiter, rtol=rtol
+        apply_a, b_own, x0=x0_own, restart=restart, maxiter=maxiter, rtol=rtol,
+        precond=precond,
     )
     return gather_global(decomp, res.x.reshape(decomp.n_shards, decomp.n_own_max)), res
 

@@ -128,3 +128,57 @@ def test_halo_fgmres_matches_single_device_solve(setup):
     np.testing.assert_allclose(
         np.asarray(x_halo), np.asarray(ref.x), rtol=0, atol=1e-6 * scale
     )
+
+
+def test_halo_preconditioned_saddle_solve(setup):
+    """FULL saddle-point solve on the halo layout with the distributed
+    Cahouet-Chabard preconditioner == the single-device preconditioned
+    solve (same system, same tolerance)."""
+    import jax.numpy as jnp
+
+    from navier_stokes_equations_tpu.ops import dirichlet as ddm
+    from navier_stokes_equations_tpu.solvers import gmres, preconditioners
+
+    mesh, fe, A_e = setup
+    dd = ddm.build_dirichlet(mesh, fe, dtype=jnp.float64)
+    pin = ddm.pressure_pin_mask(mesh, fe)
+    pops = preconditioners.build_pressure_operators(fe, pin, dense_max=10**6)
+    assert pops.dense
+    cfg_inlet = test_cases.benchmark_inlet(2, 0.3, time_dependent=False)
+    g = dd.values(cfg_inlet, jnp.asarray(5.0))
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(fe.n_dofs)) * 1e-3
+    dt, theta, nu, rho = 0.01, 0.5, 1e-3, 1.0
+    diag = operators.extract_diagonal(fe, A_e, dd.mask)
+
+    # Single-device preconditioned reference.
+    raw = lambda v: operators.apply_element_matrices(fe, A_e, v)
+    apply_ref = operators.row_constrain_operator(raw, dd.mask)
+    pc_ref = preconditioners.make_cahouet_chabard(
+        fe, pops, A_e, dd.mask, dt=dt, theta=theta, nu=nu, rho=rho,
+        vel_method="jacobi", vel_sweeps=1,
+    )
+    b_hat = jnp.where(dd.mask, g, b)
+    x0 = jnp.where(dd.mask, g, 0.0)
+    ref = gmres.fgmres(
+        apply_ref, b_hat, precond=pc_ref, x0=x0, restart=150, maxiter=400, rtol=1e-8
+    )
+    assert bool(ref.converged)
+
+    # Distributed: halo matvec + owned-layout Cahouet-Chabard.
+    d = halo.build_halo_decomposition(fe, N_DEV)
+    dev_mesh = sharding.make_device_mesh(N_DEV, axis=d.axis)
+    d_sh = halo.shard_decomposition(d, dev_mesh)
+    apply_halo = halo.make_halo_operator(d_sh, dev_mesh)
+    pc_halo = halo.halo_cahouet_chabard(
+        d_sh, apply_halo, fe, pops, A_e, dd.mask, diag, dt, theta, nu, rho
+    )
+    x_halo, res = halo.halo_fgmres(
+        d_sh, dev_mesh, A_e, b, g, dd.mask,
+        restart=150, maxiter=400, rtol=1e-8, precond=pc_halo,
+    )
+    assert bool(res.converged), float(res.residual)
+    scale = float(jnp.max(jnp.abs(ref.x)))
+    np.testing.assert_allclose(
+        np.asarray(x_halo), np.asarray(ref.x), rtol=0, atol=1e-5 * scale
+    )
