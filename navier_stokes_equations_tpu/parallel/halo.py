@@ -68,24 +68,40 @@ class HaloDecomposition:
         return self.n_own_max + self.n_halo_max
 
 
-def build_halo_decomposition(fe: FEArrays, n_shards: int, axis: str = "shard") -> HaloDecomposition:
-    """Host-side construction.  Elements must already be ordered in
-    contiguous spatial strips (``sharding.partition_mesh`` does this for
-    channel geometries); raises if any shard needs halo from a non-left
-    neighbor (i.e. the strip property does not hold).
+def geometric_strips(centroids: np.ndarray, n_shards: int) -> list:
+    """Equal-WIDTH strips along the longest coordinate axis.
 
-    Limitation (round-2 item): equal-count strips on strongly graded meshes
-    can be thinner than the coarsest elements near them, producing two-hop
-    halos; such meshes need geometric-width strips with per-strip padding
-    (or a general neighbor-list exchange).  The uniform-refinement meshes
-    used for scaling runs satisfy the one-hop property as-is.
+    Unlike equal-count strips, geometric strips are never thinner than the
+    elements near them (bin width >> max element size for benchmark
+    geometries), so the one-hop halo property holds on strongly graded
+    meshes too.  Counts are imbalanced; the decomposition pads each strip
+    to the largest one with inert slots.
+    """
+    axis = int(np.argmax(centroids.max(axis=0) - centroids.min(axis=0)))
+    c = centroids[:, axis]
+    lo, hi = c.min(), c.max() + 1e-12
+    bins = np.minimum(((c - lo) / (hi - lo) * n_shards).astype(np.int64), n_shards - 1)
+    strips = [np.where(bins == s)[0] for s in range(n_shards)]
+    if any(len(s) == 0 for s in strips):
+        raise ValueError("empty geometric strip — fewer shards or refine the mesh")
+    return strips
+
+
+def build_halo_decomposition(
+    fe: FEArrays, n_shards: int, axis: str = "shard", strips=None
+) -> HaloDecomposition:
+    """Host-side construction.
+
+    ``strips``: optional list of per-shard element-id arrays (e.g. from
+    :func:`geometric_strips` for graded meshes); defaults to contiguous
+    equal-count slices, which are geometric strips when the elements were
+    ordered by ``sharding.partition_mesh`` on a quasi-uniform mesh.  Raises
+    if any shard would need halo from a non-left neighbor (the one-hop
+    strip property does not hold).
     """
     elem_dofs = np.asarray(fe.elem_dofs)
     n_el, nd = elem_dofs.shape
     n_dofs = fe.n_dofs
-    if n_el % n_shards:
-        raise ValueError(f"n_el={n_el} not divisible by {n_shards} shards")
-    n_el_loc = n_el // n_shards
 
     # Padded elements (|det J| = 0, appended by pad_elements) reference node
     # 0 wherever it lives; exclude them from ownership/halo and point their
@@ -93,11 +109,19 @@ def build_halo_decomposition(fe: FEArrays, n_shards: int, axis: str = "shard") -
     # identically zero).
     pad_elem = np.asarray(fe.jxw).sum(axis=1) == 0.0
 
+    if strips is None:
+        if n_el % n_shards:
+            raise ValueError(f"n_el={n_el} not divisible by {n_shards} shards")
+        step = n_el // n_shards
+        strips = [np.arange(s * step, (s + 1) * step) for s in range(n_shards)]
+    strips = [np.asarray(s, np.int64) for s in strips]
+    n_el_loc = max(len(s) for s in strips)
+
     owner = np.full(n_dofs, -1, np.int64)
     touched = []
     for s in range(n_shards):
-        sl = slice(s * n_el_loc, (s + 1) * n_el_loc)
-        real = elem_dofs[sl][~pad_elem[sl]]
+        ids = strips[s]
+        real = elem_dofs[ids][~pad_elem[ids]]
         dofs_s = np.unique(real) if len(real) else np.zeros((0,), np.int64)
         touched.append(dofs_s)
         newly = dofs_s[owner[dofs_s] < 0]
@@ -131,22 +155,30 @@ def build_halo_decomposition(fe: FEArrays, n_shards: int, axis: str = "shard") -
         loc_of = {int(d): i for i, d in enumerate(owned[s])}
         for i, d in enumerate(halos[s]):
             loc_of[int(d)] = n_own_max + i
-        sl = slice(s * n_el_loc, (s + 1) * n_el_loc)
-        eds = elem_dofs[sl].copy()
-        eds[pad_elem[sl]] = owned[s][0] if len(owned[s]) else 0
-        elem_dofs_loc[s] = np.vectorize(lambda d: loc_of.get(int(d), 0))(eds)
+        ids = strips[s]
+        eds = elem_dofs[ids].copy()
+        eds[pad_elem[ids]] = owned[s][0] if len(owned[s]) else 0
+        loc = np.vectorize(lambda d: loc_of.get(int(d), 0))(eds)
+        # Per-strip padding (geometric strips have unequal counts): inert
+        # slots point at a trash id one past the local space — their (zero)
+        # contributions are dropped by trimming the transpose map, and the
+        # x-gather clamp makes the forward read harmless (A rows are zero).
+        elem_dofs_loc[s, : len(ids)] = loc
+        elem_dofs_loc[s, len(ids) :] = n_loc
         # The right neighbor's halo dofs are owned here: record their
         # positions in MY owned list, in the right neighbor's halo order.
         if s + 1 < n_shards and len(halos[s + 1]):
             send_idx[s, : len(halos[s + 1])] = [loc_of[int(d)] for d in halos[s + 1]]
-        tm = _transpose_map(elem_dofs_loc[s], n_loc)
+        tm = _transpose_map(elem_dofs_loc[s], n_loc + 1)[:n_loc]
         acc_list.append(tm)
         acc_w = max(acc_w, tm.shape[1])
     acc_gather = np.full((n_shards, n_loc, acc_w), n_el_loc * nd, np.int32)
     for s, tm in enumerate(acc_list):
         acc_gather[s, :, : tm.shape[1]] = tm
 
-    elem_slice = np.arange(n_el, dtype=np.int32).reshape(n_shards, n_el_loc)
+    elem_slice = np.full((n_shards, n_el_loc), n_el, np.int32)  # sentinel n_el
+    for s, ids in enumerate(strips):
+        elem_slice[s, : len(ids)] = ids
     n_own = np.array([len(o) for o in owned], np.int32)
 
     return HaloDecomposition(
@@ -369,9 +401,14 @@ def make_halo_operator(decomp: HaloDecomposition, device_mesh: Mesh):
     )
 
     def apply(A_e, x_owned):
-        n_el_shaped = A_e.reshape(decomp.n_shards, decomp.n_el_loc, *A_e.shape[1:])
+        # Gather per-strip element matrices (strips may be non-contiguous
+        # and unequal; sentinel slots read the appended zero matrix).
+        A_pad = jnp.concatenate(
+            [A_e, jnp.zeros((1,) + A_e.shape[1:], A_e.dtype)], axis=0
+        )
+        A_strips = A_pad[decomp.elem_slice]  # (P, n_el_loc, nd, nd)
         return mapped(
-            n_el_shaped, decomp.elem_dofs_loc, decomp.acc_gather, decomp.send_idx, x_owned
+            A_strips, decomp.elem_dofs_loc, decomp.acc_gather, decomp.send_idx, x_owned
         )
 
     return apply

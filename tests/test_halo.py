@@ -182,3 +182,31 @@ def test_halo_preconditioned_saddle_solve(setup):
     np.testing.assert_allclose(
         np.asarray(x_halo), np.asarray(ref.x), rtol=0, atol=1e-5 * scale
     )
+
+
+def test_halo_geometric_strips_on_graded_cylinder_mesh():
+    """Geometric-width strips keep the one-hop halo property on the graded
+    channel-cylinder mesh (where equal-count strips fail), and the
+    distributed matvec still matches single-device exactly."""
+    if jax.device_count() < N_DEV:
+        pytest.skip("needs 8 devices")
+    mesh = taylor_hood.build(generators.channel_cylinder_2d(0.07, 0.02))
+    fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float64)
+    params = assembly.StepParams(
+        dt=0.01, theta=0.5, nu=1e-3, rho=1.0, gamma=0.1, use_supg=False
+    )
+    rng = np.random.default_rng(9)
+    u_star = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    A_e, _ = assembly.oseen_system(fe, params, u_star, u_star)
+
+    cent = mesh.vertices[mesh.elems_p1[: mesh.n_el_real]].mean(axis=1)
+    strips = halo.geometric_strips(cent, N_DEV)
+    d = halo.build_halo_decomposition(fe, N_DEV, strips=strips)
+    dev_mesh = sharding.make_device_mesh(N_DEV, axis=d.axis)
+    d_sh = halo.shard_decomposition(d, dev_mesh)
+    apply_halo = halo.make_halo_operator(d_sh, dev_mesh)
+
+    x = jnp.asarray(rng.standard_normal(fe.n_dofs))
+    y_ref = operators.apply_element_matrices(fe, A_e, x)
+    y = halo.gather_global(d_sh, jax.jit(apply_halo)(A_e, halo.scatter_owned(d_sh, x)))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-12, atol=1e-12)
