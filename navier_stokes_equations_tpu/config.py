@@ -112,6 +112,7 @@ class SolverConfig:
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
     precond_vel_sweeps: int = 1  # Jacobi sweeps when vel_method="jacobi"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
+    precond_twolevel_cycles: int = 1  # V-cycles of the aggregation two-grid Schur
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)
     # Pressure spaces up to this size use a precomputed dense K_p^{-1}
     # (one MXU matmul per preconditioner application instead of a CG kernel

@@ -181,6 +181,7 @@ class NavierStokesSolver:
             vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
             vel_apply=vel_apply, div_apply=div_apply, diag=diag,
             nodeblock_inv=nodeblock_inv,
+            twolevel_cycles=cfg.precond_twolevel_cycles,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,

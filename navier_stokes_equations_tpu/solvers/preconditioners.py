@@ -243,6 +243,7 @@ def make_cahouet_chabard(
     div_apply: Callable | None = None,
     diag=None,
     nodeblock_inv=None,  # (n_vnodes, dim, dim) for vel_method="nodeblock"
+    twolevel_cycles: int = 1,
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -314,16 +315,20 @@ def make_cahouet_chabard(
                 return z
 
             z = omega * t_free / pops.kp_diag
-            z = smooth(z, 1)
-            r1 = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
-            flat = jnp.concatenate([r1, jnp.zeros((1,), r1.dtype)])
-            r_c = jnp.concatenate([flat[g].sum(axis=1) for g in pops.agg_gather])[:n_c]
-            z_c = jnp.matmul(
-                pops.kc_inv, r_c.astype(pops.kc_inv.dtype),
-                preferred_element_type=r_c.dtype,
-            ).astype(r_c.dtype)
-            z = z + jnp.concatenate([z_c, jnp.zeros((1,), z_c.dtype)])[pops.agg_ids]
-            kp_inv_t = smooth(z, 2)
+            for _ in range(twolevel_cycles):
+                z = smooth(z, 1)
+                r1 = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
+                flat = jnp.concatenate([r1, jnp.zeros((1,), r1.dtype)])
+                r_c = jnp.concatenate(
+                    [flat[g].sum(axis=1) for g in pops.agg_gather]
+                )[:n_c]
+                z_c = jnp.matmul(
+                    pops.kc_inv, r_c.astype(pops.kc_inv.dtype),
+                    preferred_element_type=r_c.dtype,
+                ).astype(r_c.dtype)
+                z = z + jnp.concatenate([z_c, jnp.zeros((1,), z_c.dtype)])[pops.agg_ids]
+                z = smooth(z, 2)
+            kp_inv_t = z
         else:
             kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
         z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
