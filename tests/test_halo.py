@@ -210,3 +210,20 @@ def test_halo_geometric_strips_on_graded_cylinder_mesh():
     y_ref = operators.apply_element_matrices(fe, A_e, x)
     y = halo.gather_global(d_sh, jax.jit(apply_halo)(A_e, halo.scatter_owned(d_sh, x)))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-12, atol=1e-12)
+
+
+def test_halo_rejects_non_strip_partitions(setup):
+    """Equal-count strips on the graded cylinder mesh violate the one-hop
+    property; the decomposition must refuse loudly, not corrupt silently."""
+    mesh = taylor_hood.build(generators.channel_cylinder_2d(0.07, 0.02))
+    mesh = sharding.partition_mesh(mesh, N_DEV)
+    mesh = taylor_hood.pad_elements(mesh, N_DEV)
+    fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="strip"):
+        halo.build_halo_decomposition(fe, N_DEV)
+
+
+def test_geometric_strips_reject_empty():
+    cent = np.linspace(0.0, 1.0, 10)[:, None] * np.ones((10, 2))
+    with pytest.raises(ValueError, match="empty"):
+        halo.geometric_strips(cent, 64)
