@@ -1,0 +1,62 @@
+"""Regenerate the validation traces in validation/ on real hardware.
+
+Runs the headline benchmark configurations end to end through the CLI
+driver and refreshes the stored forces.txt traces + summary statistics.
+Budget on one TPU v5e chip: ~5 min (2D-1) + ~4 min (2D-2 T=8) + ~10 min
+(3D-2Z) + ~11 min (2D-2 T=25); pass case names to run a subset.
+
+    python scripts/validate.py            # all cases
+    python scripts/validate.py 2d1 2d2    # subset
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+RUNS = {
+    "2d1": (
+        ["--case", "2D-1", "--mesh", "/root/reference/meshes/mesh-2D-100.msh"],
+        "forces_2d1_mesh-2D-100_tpu_f32.txt",
+    ),
+    "2d2": (
+        ["--case", "2D-2", "--mesh", "/root/reference/meshes/mesh-2D-100.msh",
+         "--deltat", "0.01"],
+        "forces_2d2_mesh-2D-100_tpu_f32.txt",
+    ),
+    "2d2_t25": (
+        ["--case", "2D-2", "--mesh", "/root/reference/meshes/mesh-2D-100.msh",
+         "--deltat", "0.01", "--T", "25"],
+        "forces_2d2_T25_mesh-2D-100_tpu_f32.txt",
+    ),
+    "3d2z": (
+        ["--case", "3D-2Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-medium.msh")],
+        "forces_3d2z_mesh-3D-medium_tpu_f32.txt",
+    ),
+}
+
+
+def main(argv):
+    names = argv or list(RUNS)
+    for name in names:
+        args, out_name = RUNS[name]
+        outdir = f"/tmp/validate_{name}"
+        shutil.rmtree(outdir, ignore_errors=True)
+        print(f"=== {name}: main.py {' '.join(args)}", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"), *args,
+             "--output-dir", outdir, "--quiet"],
+            check=True,
+            cwd=REPO,
+        )
+        dst = os.path.join(REPO, "validation", out_name)
+        shutil.copy(os.path.join(outdir, "forces.txt"), dst)
+        print(f"    -> {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
