@@ -30,21 +30,20 @@ from .assembly import StepParams, _supg_tau
 from .fe_arrays import FEArrays
 
 
-def make_system_operator(
+def advection_tables(
     fe: FEArrays,
     params: StepParams,
     u_adv,  # (n_vnodes, dim): u* (Oseen) or u_k (Newton)
-    newton_reaction: bool = False,  # add theta * (grad u_adv) u  (cpp:428-429)
-) -> Callable:
-    """Return apply(x) computing the unconstrained y = A x.
+    newton_reaction: bool = False,
+):
+    """Per-step advection tables shared by every operator application.
 
-    ``newton_reaction`` selects the Newton Jacobian (the extra linearized
-    convection term and SUPG's G-phi coupling); otherwise the Oseen matrix.
+    Factored out of :func:`make_system_operator` so callers that re-enter
+    the operator through ``shard_map`` (parallel/halo_solver.py) can compute
+    these once per step instead of once per Krylov iteration.
+    Returns ``(uadv_q, uadv_ref, g_adv, tau)`` (``g_adv``/``tau`` may be
+    zero-size placeholders when unused — see :func:`make_system_operator`).
     """
-    dim, nq = fe.dim, fe.nq
-    dt, theta, nu = params.dt, params.theta, params.nu
-
-    # ---- per-step advection fields at quadrature points ----------------
     uadv_e = u_adv[fe.elems_p2]  # (n_el, n2, dim)
     uadv_q = jnp.einsum("qa,ead->eqd", fe.p2_val, uadv_e)
     # Advection in reference coordinates: (u_adv . grad phi) = sum_k
@@ -54,8 +53,29 @@ def make_system_operator(
     if newton_reaction:
         du_ref = jnp.einsum("qak,ead->eqkd", fe.p2_refg, uadv_e)
         g_adv = jnp.einsum("eqkd,ekm->eqdm", du_ref, fe.jinv)  # grad u_k
-
     tau = _supg_tau(fe, params, uadv_q) if params.use_supg else None
+    return uadv_q, uadv_ref, g_adv, tau
+
+
+def make_system_operator(
+    fe: FEArrays,
+    params: StepParams,
+    u_adv=None,  # (n_vnodes, dim): u* (Oseen) or u_k (Newton)
+    newton_reaction: bool = False,  # add theta * (grad u_adv) u  (cpp:428-429)
+    tables=None,  # precomputed advection_tables(...) output
+) -> Callable:
+    """Return apply(x) computing the unconstrained y = A x.
+
+    ``newton_reaction`` selects the Newton Jacobian (the extra linearized
+    convection term and SUPG's G-phi coupling); otherwise the Oseen matrix.
+    Either ``u_adv`` or ``tables`` must be given.
+    """
+    dim, nq = fe.dim, fe.nq
+    dt, theta, nu = params.dt, params.theta, params.nu
+
+    if tables is None:
+        tables = advection_tables(fe, params, u_adv, newton_reaction)
+    uadv_q, uadv_ref, g_adv, tau = tables
     g1 = jnp.einsum("ck,ekd->ecd", fe.p1_refg, fe.jinv)  # (n_el, n1, dim)
 
     ndv = dim * fe.n2

@@ -226,6 +226,59 @@ def apply_kp(fe: FEArrays, pops: PressureOperators, x_p):
     return jnp.where(pops.pin_mask, x_p, y)
 
 
+def make_kp_solve(fe: FEArrays, pops: PressureOperators, kp_iters: int = 30,
+                  twolevel_cycles: int = 1) -> Callable:
+    """Return kp_solve(t_free) ~ K_p^{-1} t on GLOBAL pressure vectors.
+
+    Strategy by pressure-space size (see PressureOperators): exact dense
+    inverse (one MXU matmul), aggregation two-grid V-cycles, or fixed-budget
+    Jacobi-CG.  ``t_free`` must already be zero on pinned dofs.  Shared by
+    the single-chip Cahouet-Chabard and the halo-layout preconditioner
+    (parallel/halo_solver.py), which gathers its pressure residual to the
+    replicated global space first (coarse/dense solves are replicated in
+    distributed AMG stacks too).
+    """
+    kp_apply = lambda x: apply_kp(fe, pops, x)
+
+    def kp_solve(t_free):
+        if pops.dense:
+            return jnp.matmul(
+                pops.kp_inv,
+                t_free.astype(pops.kp_inv.dtype),
+                preferred_element_type=t_free.dtype,
+            ).astype(t_free.dtype)
+        if pops.two_level:
+            # Aggregation two-grid V-cycle: damped-Jacobi smooth, dense
+            # coarse solve on the MXU, damped-Jacobi post-smooth.
+            n_c = pops.kc_inv.shape[0]
+            omega = 0.8
+
+            def smooth(z, sweeps):
+                for _ in range(sweeps):
+                    r = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
+                    z = z + omega * r / pops.kp_diag
+                return z
+
+            z = omega * t_free / pops.kp_diag
+            for _ in range(twolevel_cycles):
+                z = smooth(z, 1)
+                r1 = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
+                flat = jnp.concatenate([r1, jnp.zeros((1,), r1.dtype)])
+                r_c = jnp.concatenate(
+                    [flat[g].sum(axis=1) for g in pops.agg_gather]
+                )[:n_c]
+                z_c = jnp.matmul(
+                    pops.kc_inv, r_c.astype(pops.kc_inv.dtype),
+                    preferred_element_type=r_c.dtype,
+                ).astype(r_c.dtype)
+                z = z + jnp.concatenate([z_c, jnp.zeros((1,), z_c.dtype)])[pops.agg_ids]
+                z = smooth(z, 2)
+            return z
+        return cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
+
+    return kp_solve
+
+
 def make_cahouet_chabard(
     fe: FEArrays,
     pops: PressureOperators,
@@ -256,7 +309,7 @@ def make_cahouet_chabard(
         diag = operators.extract_diagonal(fe, A_e, mask)
     n_u = fe.n_udofs
 
-    kp_apply = lambda x: apply_kp(fe, pops, x)
+    kp_solve = make_kp_solve(fe, pops, kp_iters=kp_iters, twolevel_cycles=twolevel_cycles)
     if vel_apply is None:
         vel_apply = lambda z: operators.velocity_block_apply(fe, A_e, mask, z)
     if div_apply is None:
@@ -296,41 +349,7 @@ def make_cahouet_chabard(
 
         # --- step 3: Cahouet-Chabard Schur action ------------------------
         t_free = jnp.where(pops.pin_mask, 0.0, t)
-        if pops.dense:
-            kp_inv_t = jnp.matmul(
-                pops.kp_inv,
-                t_free.astype(pops.kp_inv.dtype),
-                preferred_element_type=t_free.dtype,
-            ).astype(t_free.dtype)
-        elif pops.two_level:
-            # Aggregation two-grid V-cycle: damped-Jacobi smooth, dense
-            # coarse solve on the MXU, damped-Jacobi post-smooth.
-            n_c = pops.kc_inv.shape[0]
-            omega = 0.8
-
-            def smooth(z, sweeps):
-                for _ in range(sweeps):
-                    r = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
-                    z = z + omega * r / pops.kp_diag
-                return z
-
-            z = omega * t_free / pops.kp_diag
-            for _ in range(twolevel_cycles):
-                z = smooth(z, 1)
-                r1 = jnp.where(pops.pin_mask, 0.0, t_free - kp_apply(z))
-                flat = jnp.concatenate([r1, jnp.zeros((1,), r1.dtype)])
-                r_c = jnp.concatenate(
-                    [flat[g].sum(axis=1) for g in pops.agg_gather]
-                )[:n_c]
-                z_c = jnp.matmul(
-                    pops.kc_inv, r_c.astype(pops.kc_inv.dtype),
-                    preferred_element_type=r_c.dtype,
-                ).astype(r_c.dtype)
-                z = z + jnp.concatenate([z_c, jnp.zeros((1,), z_c.dtype)])[pops.agg_ids]
-                z = smooth(z, 2)
-            kp_inv_t = z
-        else:
-            kp_inv_t = cg.pcg(kp_apply, t_free, pops.kp_diag, iters=kp_iters)
+        kp_inv_t = kp_solve(t_free)
         z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
         z_p = jnp.where(pops.pin_mask, t, z_p)
 
