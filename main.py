@@ -46,6 +46,19 @@ def parse_args(argv=None):
         default=None,
         help="wrap the run in a jax.profiler device trace (view in TensorBoard)",
     )
+    p.add_argument(
+        "--layout",
+        default="replicated",
+        choices=["replicated", "halo"],
+        help="multi-device layout: replicated DoF vectors (element-axis SPMD) "
+        "or the halo-exchange owned-node decomposition (O(interface) comm)",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="device count for --layout halo (0 = all visible devices)",
+    )
     return p.parse_args(argv)
 
 
@@ -89,7 +102,13 @@ def main(argv=None):
         sizes = [float(x) for x in params.split(",") if x] if params else []
         gen = generators.channel_cylinder_2d if kind == "gen2d" else generators.channel_cylinder_3d
         mesh = taylor_hood.build(gen(*sizes))
-    s = solver.NavierStokesSolver(cfg, mesh)
+    if args.layout == "halo":
+        from navier_stokes_equations_tpu.parallel import halo_solver
+
+        n_shards = args.shards if args.shards > 0 else len(jax.devices())
+        s = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=n_shards)
+    else:
+        s = solver.NavierStokesSolver(cfg, mesh)
 
     logger = nslog.RunLogger(
         forces_path=os.path.join(args.output_dir, "forces.txt"),
@@ -97,9 +116,13 @@ def main(argv=None):
     )
     logger.log_setup(s)
 
+    halo = args.layout == "halo"
     if args.resume:
         state, _ = ckpt.load(args.resume, dtype=s.dtype)
         print(f"Resumed from {args.resume} at step {int(state.step)}, t={float(state.time):g}")
+        if halo:
+            # Checkpoints are layout-independent (global vectors).
+            state = s.from_global_state(state)
     else:
         state = s.initial_state()
 
@@ -110,13 +133,16 @@ def main(argv=None):
         if args.vtu_every and step % args.vtu_every == 0:
             import numpy as np
 
-            u, p = s.fe.split(st.x_old)
+            u, p = s.fe.split(s.global_solution(st) if halo else st.x_old)
             name = f"solution_{step:06d}.vtu"
             vtu.write_vtu(os.path.join(args.output_dir, name), s.mesh, np.asarray(u), np.asarray(p))
             pvd_entries.append((rec["time"], name))
             vtu.write_pvd(os.path.join(args.output_dir, "solution.pvd"), pvd_entries)
         if args.checkpoint_every and step % args.checkpoint_every == 0:
-            ckpt.save(os.path.join(args.output_dir, "checkpoint.npz"), st)
+            ckpt.save(
+                os.path.join(args.output_dir, "checkpoint.npz"),
+                s.to_global_state(st) if halo else st,
+            )
 
     n = args.steps if args.steps is not None else max(0, s.n_steps() - int(state.step))
     if args.profile_dir:

@@ -324,13 +324,30 @@ class NavierStokesSolver:
         )
         f_new, f_old = self._forcing_at(fe, t_new, dt0)
 
+        quad = cfg.operator_path == "quadrature"
+
         def residual_system(x):
+            """Returns (A_e | global diagonal, constrained rhs).
+
+            On the quadrature path the Newton iteration never forms the
+            (nd, nd) element matrices: the Krylov operator is the matfree
+            Jacobian apply and the preconditioner needs only the diagonal
+            (assembly.newton_rhs_diag) — the dominant per-iteration assembly
+            cost in the matrix path.
+            """
             u, p = fe.split(x)
-            A_e, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
+            if quad:
+                diag_e, b_e = assembly.newton_rhs_diag(
+                    fe, params, u, p, u_old, f_new, f_old
+                )
+                Ad = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
+                Ad = jnp.where(jnp.abs(Ad) > 1e-30, Ad, 1.0)
+            else:
+                Ad, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
             b = operators.scatter_add(fe, b_e)
             # Homogeneous constraints on the update (g = 0): rhs rows zeroed.
             b_hat = jnp.where(mask, 0.0, b)
-            return A_e, b_hat
+            return Ad, b_hat
 
         # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
         x0 = jnp.where(mask, g, state.x_old)
@@ -344,7 +361,7 @@ class NavierStokesSolver:
 
         def body(c):
             x, res_in, prev, res0, stall, damping, it, tg, _ = c
-            A_e, b_hat = residual_system(x)
+            Ad, b_hat = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
             # f32 assembly roundoff floors ||R|| around eps*|terms|*sqrt(n)
@@ -368,15 +385,16 @@ class NavierStokesSolver:
                     d1,
                 )
                 op = None
-                if cfg.operator_path == "quadrature":
+                if quad:
                     u_x, _ = fe.split(x)
                     op = matfree.make_system_operator(
                         fe, params, u_x, newton_reaction=True
                     )
                 sol = self._solve_linear(
-                    fe, pops, A_e, b_hat, g * 0.0, dt0, theta_eff,
-                    jnp.zeros_like(x), cfg.gmres_maxiter_newton,
+                    fe, pops, None if quad else Ad, b_hat, g * 0.0, dt0,
+                    theta_eff, jnp.zeros_like(x), cfg.gmres_maxiter_newton,
                     rtol=cfg.gmres_rtol_newton, op=op,
+                    diag=Ad if quad else None,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))

@@ -387,6 +387,109 @@ def newton_system(
     return A_e, b_e
 
 
+def newton_rhs_diag(
+    fe: FEArrays,
+    params: StepParams,
+    u_cur,  # (n_vnodes, dim) current Newton iterate
+    p_cur,  # (n_p,)
+    u_old,
+    f_new_q: Optional[Any] = None,
+    f_old_q: Optional[Any] = None,
+):
+    """Newton residual RHS and Jacobian diagonal WITHOUT the matrices.
+
+    The quadrature-path Newton iteration (matfree operator + Jacobi/Chebyshev
+    preconditioning) consumes :func:`newton_system`'s ``(nd, nd)`` element
+    matrices only for their diagonal — forming the dense cross-coupling
+    blocks (the ``(n2, dim, n2, dim)`` einsums) dominates each Newton
+    iteration's assembly cost.  This computes exactly
+    ``(diagonal(A_e), b_e)`` of :func:`newton_system` (same weak form,
+    reference: NavierStokes.cpp:353-511); equality is asserted in
+    tests/test_assembly.py.
+
+    Returns ``(diag_e (n_el, nd), b_e (n_el, nd))`` component-major
+    (pressure diagonal is zero: A_pp = 0; pressure RHS rows carry the
+    continuity residual).
+    """
+    g2 = fe.phys_grads_p2()
+    ucur_e = fe.gather_u(u_cur)
+    uold_e = fe.gather_u(u_old)
+    ucur_q = _interp_u(fe, ucur_e)
+    uold_q = _interp_u(fe, uold_e)
+    gradu_q = _interp_grad_u(fe, g2, ucur_e)
+    graduold_q = _interp_grad_u(fe, g2, uold_e)
+    p_e = p_cur[fe.elems_p1]
+    p_q = jnp.einsum("qc,ec->eq", fe.p1_val, p_e)
+    g1 = fe.phys_grads_p1()
+    gradp_q = jnp.broadcast_to(
+        jnp.einsum("ec,ecd->ed", p_e, g1)[:, None, :], ucur_q.shape
+    )
+
+    dt, theta, nu = params.dt, params.theta, params.nu
+
+    adv_a = jnp.einsum("eqd,eqad->eqa", ucur_q, g2)  # (u_k . grad) phi_a
+
+    # --- Jacobian diagonal (a == b, d == f of cpp:421-437) ---------------
+    mass_d = jnp.einsum("eq,qa,qa->ea", fe.jxw, fe.p2_val, fe.p2_val)
+    stiff_d = jnp.einsum("eq,eqad,eqad->ea", fe.jxw, g2, g2)
+    conv_d = jnp.einsum("eq,qa,eqa->ea", fe.jxw, fe.p2_val, adv_a)
+    diag_common = mass_d / dt + theta * nu * stiff_d + theta * conv_d
+    # Linearized-reaction diagonal: theta G[d, d] phi_a^2 (cpp:428-429).
+    gdd = jnp.einsum("eqdd->eqd", gradu_q)  # (n_el, nq, dim)
+    phi2 = fe.p2_val * fe.p2_val  # (nq, n2)
+    diag_vd = diag_common[:, :, None] + theta * jnp.einsum(
+        "eq,eqd,qa->ead", fe.jxw, gdd, phi2
+    )
+
+    # --- residual RHS = -R (identical formulas to newton_system) ---------
+    conv_cur = jnp.einsum("eqdk,eqk->eqd", gradu_q, ucur_q)
+    conv_old = jnp.einsum("eqdk,eqk->eqd", graduold_q, uold_q)
+    div_u_q = jnp.einsum("eqdd->eq", gradu_q)
+
+    time_term = (ucur_q - uold_q) / dt
+    impl = theta * conv_cur
+    expl = (1.0 - theta) * conv_old
+    b_v = -jnp.einsum("eq,eqd,qa->ead", fe.jxw, time_term + impl + expl, fe.p2_val)
+    b_v -= theta * nu * jnp.einsum("eq,eqdk,eqak->ead", fe.jxw, gradu_q, g2)
+    b_v -= (1.0 - theta) * nu * jnp.einsum("eq,eqdk,eqak->ead", fe.jxw, graduold_q, g2)
+    b_v += jnp.einsum("eq,eq,eqad->ead", fe.jxw, p_q, g2)
+    b_p = jnp.einsum("eq,eq,qc->ec", fe.jxw, div_u_q, fe.p1_val)
+
+    f_theta = None
+    if f_new_q is not None:
+        f_theta = theta * f_new_q + (1.0 - theta) * f_old_q
+        b_v += jnp.einsum("eq,eqd,qa->ead", fe.jxw, f_theta, fe.p2_val)
+
+    if params.use_supg:
+        tau = _supg_tau(fe, params, ucur_q)
+        test = tau[:, :, None] * jnp.einsum("eqd,eqad->eqa", ucur_q, g2)
+        # Jacobian diagonal: (test_a, phi_a/dt + (u_k.grad)phi_a) and the
+        # SUPG reaction coupling at (b, f) == (a, d); grad-div (d_d phi_a)^2.
+        op_a = fe.p2_val[None, :, :] / dt + adv_a
+        diag_vd = diag_vd + jnp.einsum("eq,eqa,eqa->ea", fe.jxw, test, op_a)[:, :, None]
+        diag_vd = diag_vd + jnp.einsum("eq,eqa,eqd,qa->ead", fe.jxw, test, gdd, fe.p2_val)
+        diag_vd = diag_vd + params.gamma * jnp.einsum(
+            "eq,eqad,eqad->ead", fe.jxw, g2, g2
+        )
+        # Strong residual for the SUPG RHS (cpp:487-509).
+        lap2 = fe.phys_laplacians_p2()
+        lapu_q = jnp.broadcast_to(
+            jnp.einsum("ea,ead->ed", lap2, ucur_e)[:, None, :], ucur_q.shape
+        )
+        strong = time_term + conv_cur + gradp_q - nu * lapu_q
+        if f_theta is not None:
+            strong = strong - f_theta
+        b_v -= jnp.einsum("eq,eqa,eqd->ead", fe.jxw, test, strong)
+
+    diag_v = jnp.transpose(diag_vd, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
+    diag_e = jnp.concatenate(
+        [diag_v, jnp.zeros((fe.n_el, fe.n1), diag_v.dtype)], axis=1
+    )
+    bv = jnp.transpose(b_v, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
+    b_e = jnp.concatenate([bv, b_p], axis=1)
+    return diag_e, b_e
+
+
 def extrapolate_advection(u_old, u_old_old, first_order):
     """u* = 2 u^n - u^{n-1} with the reference's 20% growth clamp, or u^n.
 

@@ -1,7 +1,8 @@
 """The FULL time loop on the halo-exchange layout.
 
-``HaloNavierStokesSolver`` runs the complete linearized (Oseen) time step —
-assembly, dt-retry ladder, FGMRES with the Cahouet-Chabard preconditioner,
+``HaloNavierStokesSolver`` runs the complete time step — assembly (Oseen or
+Newton), dt-retry ladder / damped Newton iteration, FGMRES with the
+Cahouet-Chabard preconditioner,
 benchmark functionals — with the solution DISTRIBUTED across a device mesh
 in owned-node blocks, communicating O(interface) ppermute messages per
 operator application.  This is the end-state of the reference's MPI domain
@@ -76,9 +77,10 @@ class HaloStatics:
 class HaloNavierStokesSolver(NavierStokesSolver):
     """Distributed (halo-layout) variant of the solver facade.
 
-    Supports the linearized path (the default for every unsteady benchmark
-    case); the Newton path remains single-layout for now.  The state's
-    ``x_old``/``x_old_old`` are flat ``(P * n_ld,)`` block-sharded vectors;
+    Supports both nonlinear strategies: the linearized (Oseen) path via the
+    host-side dt-retry ladder and the Newton path via a fully jitted damped
+    iteration (:meth:`_halo_newton_step`).  The state's ``x_old``/
+    ``x_old_old`` are flat ``(P * n_ld,)`` block-sharded vectors;
     :meth:`global_solution` reassembles the replicated global vector for
     I/O (VTU, checkpoints, validation).
     """
@@ -92,11 +94,6 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         device_mesh=None,
         n_q1d: int = 3,
     ):
-        if cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            raise NotImplementedError(
-                "halo layout currently supports the linearized path; "
-                "Newton cases run on the replicated-DoF SPMD layout"
-            )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
             n_shards = len(jax.devices())
@@ -150,6 +147,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             mp_p=put(mp_loc[:, off:]),
         )
         self._attempt_jit = jax.jit(self._halo_attempt)
+        self._newton_jit = jax.jit(self._halo_newton_step)
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -162,6 +160,31 @@ class HaloNavierStokesSolver(NavierStokesSolver):
     def global_solution(self, state: State):
         """Replicated (n_dofs,) solution vector from the distributed state."""
         return hf.gather_local(self.hfe, state.x_old.reshape(self.hfe.n_shards, -1))
+
+    def to_global_state(self, state: State) -> State:
+        """Layout-independent State (global vectors) for checkpointing.
+
+        Checkpoints written from a halo run are loadable by any layout or
+        shard count (the on-disk format is the replicated global state).
+        """
+        P = self.hfe.n_shards
+        return dataclasses.replace(
+            state,
+            x_old=hf.gather_local(self.hfe, state.x_old.reshape(P, -1)),
+            x_old_old=hf.gather_local(self.hfe, state.x_old_old.reshape(P, -1)),
+        )
+
+    def from_global_state(self, state: State) -> State:
+        """Distribute a layout-independent State onto the halo layout."""
+        put = lambda xg: jax.device_put(
+            hf.scatter_local(self.hfe, jnp.asarray(xg, self.dtype)).reshape(-1),
+            self._spec,
+        )
+        return dataclasses.replace(
+            state,
+            x_old=put(state.x_old),
+            x_old_old=put(state.x_old_old),
+        )
 
     # --- shard_map helpers (all array structures passed explicitly so the
     # jitted attempt never closure-captures device buffers) ---------------
@@ -204,13 +227,54 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             params, first_order, t_new,
         )
 
-    def _make_matvec(self, hfe, statics, params, tables):
-        """Row-constrained distributed operator on flat sharded vectors."""
+    def _assemble_newton_halo(self, hfe, params, x2, x_old2, t_new):
+        """shard_map pass: Newton residual RHS, Jacobian diagonal, tables.
+
+        The quadrature-path kernel (assembly.newton_rhs_diag) runs verbatim
+        on each strip's local FEArrays — the (nd, nd) Jacobian element
+        matrices are never formed (reference assembles them every Newton
+        iteration, NavierStokes.cpp:278-539).
+        """
+        cfg = self.cfg
+
+        def body(fe_stack, send_n, send_v, x_cur2, x_o2, params, t_new):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            sn, sv = send_n[0], send_v[0]
+            x_cur = hf.import_halo(hfe, x_cur2[0], sn, sv)
+            x_old = hf.import_halo(hfe, x_o2[0], sn, sv)
+            u_cur, p_cur = hf.local_fields(hfe, x_cur)
+            u_old, _ = hf.local_fields(hfe, x_old)
+            f_new = f_old = None
+            if cfg.forcing is not None:
+                f_new = cfg.forcing(fe_loc.qpoints, t_new)
+                f_old = cfg.forcing(fe_loc.qpoints, t_new - params.dt)
+            diag_e, b_e = assembly.newton_rhs_diag(
+                fe_loc, params, u_cur, p_cur, u_old, f_new, f_old
+            )
+            b = hf.export_halo(hfe, fe_loc.accumulate(b_e), sn, sv)
+            diag = hf.export_halo(hfe, fe_loc.accumulate(diag_e), sn, sv)
+            tables = _pack(
+                matfree.advection_tables(fe_loc, params, u_cur, newton_reaction=True)
+            )
+            return b[None], diag[None], jax.tree.map(lambda a: a[None], tables)
+
+        mapped = self._shmap(body, n_in=5, n_scalar=2, n_out=3)
+        return mapped(
+            hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x2, x_old2, params, t_new
+        )
+
+    def _make_matvec(self, hfe, statics, params, tables, newton: bool = False):
+        """Row-constrained distributed operator on flat sharded vectors.
+
+        ``newton``: the advection tables carry the linearized-reaction
+        gradient (Newton Jacobian, reference: cpp:421-437) instead of the
+        Oseen matrix.
+        """
         use_supg = self.cfg.use_supg
 
         def body(fe_stack, tables, send_n, send_v, mask2, x2, params):
             fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
-            tab = _unpack(jax.tree.map(lambda a: a[0], tables), use_supg, False)
+            tab = _unpack(jax.tree.map(lambda a: a[0], tables), use_supg, newton)
             sn, sv = send_n[0], send_v[0]
             x = hf.import_halo(hfe, x2[0], sn, sv)
             op = matfree.make_system_operator(fe_loc, params, tables=tab)
@@ -349,10 +413,22 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             rtol=cfg.gmres_rtol, alloc=cfg.gmres_alloc,
         )
 
-        # Functionals on the replicated global fields (one gather per STEP —
-        # ~1/35th of the per-iteration work; the reference's functionals are
-        # also global reductions, NavierStokes.cpp:913-1011).
-        x_glob = hf.gather_local(hfe, res.x.reshape(hfe.n_shards, hfe.n_ld))
+        return self._halo_finalize(
+            state, t_new, hfe, res.x, res.converged, res.iterations, dt_att,
+            jnp.asarray(0, jnp.int32), res.residual,
+        )
+
+    def _halo_finalize(
+        self, state, t_new, hfe, x_flat, ok, gmres_its, dt_used, newton_its, resid
+    ):
+        """Functionals + history shift on the distributed state.
+
+        Functionals run on the replicated global fields (one gather per STEP
+        — ~1/35th of the per-iteration work; the reference's functionals are
+        also global reductions, NavierStokes.cpp:913-1011).
+        """
+        cfg = self.cfg
+        x_glob = hf.gather_local(hfe, x_flat.reshape(hfe.n_shards, hfe.n_ld))
         u, p = self.fe.split(x_glob)
         cd, cl = functionals.lift_drag(
             self.fe, self.force_tables, u, p, nu=self.nu, rho=cfg.rho, U_m=cfg.U_m
@@ -360,7 +436,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         dp = functionals.pressure_difference(self.fe, self.probe_tables, p)
 
         new_state = State(
-            x_old=res.x,
+            x_old=x_flat,
             x_old_old=state.x_old,
             time=t_new,
             step=state.step + 1,
@@ -369,14 +445,135 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         metrics = StepMetrics(
             time=t_new, drag=cd, lift=cl, delta_p=dp,
-            gmres_iters=res.iterations, newton_iters=jnp.asarray(0, jnp.int32),
-            converged=res.converged, residual=res.residual, dt_used=dt_att,
+            gmres_iters=gmres_its, newton_iters=newton_its,
+            converged=ok, residual=resid, dt_used=dt_used,
         )
         return new_state, metrics
+
+    # --- Newton path on the halo layout ---------------------------------
+    def _halo_newton_step(self, state: State, hfe, pops, statics):
+        """Jitted Newton time step on the distributed owned-node layout.
+
+        Mirrors ``NavierStokesSolver._newton_advance`` (reference:
+        NavierStokes.cpp:1116-1207 — adaptive damping in [0.05, 1] with the
+        0.99-stall-halve / 0.5-grow rules and post-linear-failure
+        backtracking) with every vector block-sharded: residual assembly and
+        the Jacobian matvec are shard_mapped with ghost import/export, the
+        Newton algebra (norms, axpys) runs on flat sharded vectors with
+        XLA-inserted psums.
+        """
+        cfg = self.cfg
+        dt0 = jnp.asarray(self.dt0, self.dtype)
+        t_new = state.time + dt0
+        theta_eff = jnp.where(
+            state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
+            jnp.asarray(1.0, self.dtype),
+            jnp.asarray(cfg.theta, self.dtype),
+        )
+        params = assembly.StepParams(
+            dt=dt0, theta=theta_eff, nu=jnp.asarray(self.nu, self.dtype),
+            rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+        mask2 = statics.mask
+        Pn = hfe.n_shards
+        g_glob = self.dirichlet.values(cfg.inlet_profile, t_new)
+        g2 = hf.scatter_local(hfe, g_glob.astype(self.dtype))
+        x_old2 = state.x_old.reshape(Pn, hfe.n_ld)
+
+        def residual_system(x2):
+            b2, diag2, tables = self._assemble_newton_halo(
+                hfe, params, x2, x_old2, t_new
+            )
+            b_hat = jnp.where(mask2, 0.0, b2)
+            diag2 = jnp.where(mask2, 1.0, diag2)
+            diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
+            return b_hat, diag2, tables
+
+        # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
+        x0 = jnp.where(mask2, g2, x_old2)
+
+        big = jnp.asarray(1e10, self.dtype)
+        tol = cfg.newton_tolerance
+
+        def cond(c):
+            x, res, prev, res0, stall, damping, it, tg, done = c
+            return (~done) & (it < cfg.newton_max_iterations)
+
+        def body(c):
+            x, res_in, prev, res0, stall, damping, it, tg, _ = c
+            b_hat, diag2, tables = residual_system(x)
+            res = jnp.linalg.norm(b_hat)
+            res0 = jnp.where(it == 0, res, res0)
+            # Same f32-floor stall exit as the single-chip Newton loop.
+            stall = jnp.where(res > 0.9 * prev, stall + 1, 0)
+            done = (res < tol) | (res < cfg.newton_rtol * res0) | (stall >= 3)
+
+            def do_update(_):
+                d1 = jnp.where(
+                    (it > 0) & (res > 0.99 * prev),
+                    jnp.maximum(0.05, damping * 0.5),
+                    damping,
+                )
+                d1 = jnp.where(
+                    (res < 0.5 * prev) & (d1 < 1.0 - 1e-12),
+                    jnp.minimum(1.0, d1 * 1.5),
+                    d1,
+                )
+                apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
+                div_apply = self._make_div_apply(hfe, params)
+                precond = self._make_halo_precond(
+                    hfe, statics, pops, params, diag2, div_apply
+                )
+                sol = gmres.fgmres(
+                    apply_a, b_hat.reshape(-1), precond=precond,
+                    x0=jnp.zeros((Pn * hfe.n_ld,), self.dtype),
+                    restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_newton,
+                    rtol=cfg.gmres_rtol_newton, alloc=cfg.gmres_alloc,
+                )
+                lin_ok = sol.converged
+                d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
+                upd = sol.x.reshape(Pn, hfe.n_ld)
+                x_new = x + d2 * upd
+
+                def backtrack(_):
+                    b2, _, _ = residual_system(x_new)
+                    new_res = jnp.linalg.norm(b2)
+                    bad = new_res > 2.0 * res
+                    d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
+                    x_bt = jnp.where(bad, x + d3 * upd, x_new)
+                    return x_bt, d3
+
+                x_out, d_out = jax.lax.cond(
+                    ~lin_ok, backtrack, lambda _: (x_new, d2), None
+                )
+                return x_out, d_out, sol.iterations
+
+            def no_update(_):
+                return x, damping, jnp.asarray(0, jnp.int32)
+
+            x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
+            return (
+                x_out, res, res, res0, stall, d_out,
+                it + jnp.where(done, 0, 1), tg + g_its, done,
+            )
+
+        init = (
+            x0, big, big, big, jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, self.dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
+        x, res, _, _, _, _, iters, total_gmres, done = jax.lax.while_loop(
+            cond, body, init
+        )
+        return self._halo_finalize(
+            state, t_new, hfe, x.reshape(-1), done, total_gmres, dt0, iters, res
+        )
 
     # ------------------------------------------------------------------
     def step(self, state: State):
         """Host-side retry ladder (one compiled attempt program, k traced)."""
+        if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            return self._newton_jit(state, self.hfe, self.pressure_ops, self.statics)
         its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(

@@ -296,3 +296,46 @@ def test_oseen_rhs_diag_matches_full_system(sq):
             np.testing.assert_allclose(
                 np.asarray(b_e2), np.asarray(b_e), rtol=1e-12, atol=1e-12
             )
+
+
+def test_newton_rhs_diag_matches_full_system(sq):
+    """newton_rhs_diag == (diagonal(A_e), b_e) of newton_system, all regimes."""
+    mesh, fe = sq
+    rng = np.random.default_rng(11)
+    u_cur = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    p_cur = jnp.asarray(rng.standard_normal((fe.n_p,)))
+    u_old = jnp.asarray(rng.standard_normal((fe.n_vnodes, 2)))
+    f_q = jnp.asarray(rng.standard_normal((fe.n_el, fe.nq, 2)))
+    for supg in (False, True):
+        for theta in (1.0, 0.5):
+            params = _params(dt=0.05, theta=theta, nu=0.02, supg=supg)
+            A_e, b_e = assembly.newton_system(fe, params, u_cur, p_cur, u_old, f_q, 0.5 * f_q)
+            diag_e, b_e2 = assembly.newton_rhs_diag(fe, params, u_cur, p_cur, u_old, f_q, 0.5 * f_q)
+            np.testing.assert_allclose(
+                np.asarray(diag_e),
+                np.diagonal(np.asarray(A_e), axis1=1, axis2=2),
+                rtol=1e-12, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(b_e2), np.asarray(b_e), rtol=1e-12, atol=1e-12
+            )
+
+
+def test_newton_rhs_diag_matches_full_system_3d():
+    """Same equivalence on a 3D tet (SUPG strong residual incl. Laplacians)."""
+    mesh = _single_tet_mesh()
+    fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    u_cur = jnp.asarray(rng.standard_normal((fe.n_vnodes, 3)))
+    p_cur = jnp.asarray(rng.standard_normal((fe.n_p,)))
+    u_old = jnp.asarray(rng.standard_normal((fe.n_vnodes, 3)))
+    for supg in (False, True):
+        params = _params(dt=0.1, theta=1.0, nu=0.02, supg=supg)
+        A_e, b_e = assembly.newton_system(fe, params, u_cur, p_cur, u_old)
+        diag_e, b_e2 = assembly.newton_rhs_diag(fe, params, u_cur, p_cur, u_old)
+        np.testing.assert_allclose(
+            np.asarray(diag_e),
+            np.diagonal(np.asarray(A_e), axis1=1, axis2=2),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(np.asarray(b_e2), np.asarray(b_e), rtol=1e-12, atol=1e-12)

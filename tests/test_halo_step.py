@@ -84,8 +84,26 @@ def test_full_steps_match_single_device(solvers):
         assert abs(float(m_h.delta_p) - float(m_ref.delta_p)) < 1e-3
 
 
-def test_halo_solver_rejects_newton(mesh2d_path):
-    cfg = test_cases.make("2D-1")
+def test_newton_steps_match_single_device(mesh2d_path):
+    """Halo-layout Newton (2D-1 preset) == single-device Newton trajectory."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    cfg = dataclasses.replace(test_cases.make("2D-1", deltat=0.1), dtype="float64")
     assert cfg.nonlinear_method == NonlinearMethod.NEWTON
-    with pytest.raises(NotImplementedError):
-        halo_solver.HaloNavierStokesSolver(cfg, taylor_hood.load(mesh2d_path), n_shards=2)
+    mesh = sharding.partition_mesh(taylor_hood.load(mesh2d_path), N_DEV)
+    ref = solver.NavierStokesSolver(cfg, mesh)
+    hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV)
+    s_ref = ref.initial_state()
+    s_h = hs.initial_state()
+    for i in range(2):
+        s_ref, m_ref = ref.step(s_ref)
+        s_h, m_h = hs.step(s_h)
+        assert int(m_h.newton_iters) == int(m_ref.newton_iters)
+        assert bool(m_h.converged) == bool(m_ref.converged)
+        x_h = np.asarray(hs.global_solution(s_h))
+        x_r = np.asarray(s_ref.x_old)
+        scale = np.max(np.abs(x_r))
+        assert np.max(np.abs(x_h - x_r)) < 5e-3 * scale
+        assert abs(float(m_h.drag) - float(m_ref.drag)) < 1e-3
+        assert abs(float(m_h.lift) - float(m_ref.lift)) < 1e-3
+        assert abs(float(m_h.delta_p) - float(m_ref.delta_p)) < 1e-3
