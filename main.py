@@ -47,6 +47,16 @@ def parse_args(argv=None):
         help="wrap the run in a jax.profiler device trace (view in TensorBoard)",
     )
     p.add_argument(
+        "--vel-precond",
+        default=None,
+        choices=["jacobi", "chebyshev", "nodeblock", "p1coarse", "p1coarse_mult"],
+        help="velocity-block preconditioner override",
+    )
+    p.add_argument(
+        "--p1-iters", type=int, default=None,
+        help="coarse PCG budget for --vel-precond p1coarse*",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -91,6 +101,10 @@ def main(argv=None):
         over["gmres_rtol"] = args.rtol
     if args.no_warm_start:
         over["gmres_warm_start"] = False
+    if args.vel_precond:
+        over["precond_vel_method"] = args.vel_precond
+    if args.p1_iters is not None:
+        over["precond_p1_iters"] = args.p1_iters
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -108,9 +108,14 @@ class SolverConfig:
     gmres_warm_start: bool = True
 
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
-    precond_vel_method: str = "jacobi"  # "chebyshev" | "jacobi"
+    # velocity block: "jacobi" | "chebyshev" | "nodeblock" | "p1coarse"
+    # (additive p-multigrid: Jacobi fine sweep + PCG-solved P1-vertex coarse
+    # correction) | "p1coarse_mult" (multiplicative variant, one extra
+    # velocity-block application).
+    precond_vel_method: str = "jacobi"
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
     precond_vel_sweeps: int = 1  # Jacobi sweeps when vel_method="jacobi"
+    precond_p1_iters: int = 8  # coarse PCG budget for vel_method="p1coarse*"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
     precond_twolevel_cycles: int = 1  # V-cycles of the aggregation two-grid Schur
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)

@@ -94,6 +94,8 @@ class NavierStokesSolver:
             self.fe, pin, kp_regularization=cfg.kp_regularization,
             dense_max=cfg.precond_schur_dense_max,
             coords=mesh.vertices,  # enables the two-grid Schur beyond dense_max
+            mesh=mesh, vel_mask=self.dirichlet.mask,
+            p1_coarse=cfg.precond_vel_method.startswith("p1coarse"),
         )
         self.force_tables = functionals.build_force_tables(mesh, self.fe, dtype)
         self.probe_tables = functionals.build_probe_tables(mesh)
@@ -182,6 +184,7 @@ class NavierStokesSolver:
             vel_apply=vel_apply, div_apply=div_apply, diag=diag,
             nodeblock_inv=nodeblock_inv,
             twolevel_cycles=cfg.precond_twolevel_cycles,
+            p1_iters=cfg.precond_p1_iters,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,

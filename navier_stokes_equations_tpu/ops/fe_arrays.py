@@ -135,6 +135,22 @@ class FEArrays:
         flat = jnp.concatenate([yp_e.reshape(-1), jnp.zeros((1,), yp_e.dtype)])
         return jnp.concatenate([flat[g].sum(axis=1) for g in self.p_gather])
 
+    def accumulate_p_rows(self, y_e):
+        """(n_el, n1, k) pressure-space row contributions -> (n_p, k).
+
+        Same bucketed maps as :meth:`accumulate_p`; the trailing dimension
+        rides nearly free (TPU gather cost is per slot, not per byte), so k
+        velocity components accumulate for the price of one scalar pass —
+        used by the P1-coarse velocity preconditioner.
+        """
+        k = y_e.shape[-1]
+        if not self.use_gather_scatter:
+            return jnp.zeros((self.n_p, k), y_e.dtype).at[self.elems_p1].add(y_e)
+        flat = jnp.concatenate(
+            [y_e.reshape(-1, k), jnp.zeros((1, k), y_e.dtype)], axis=0
+        )
+        return jnp.concatenate([flat[g].sum(axis=1) for g in self.p_gather])
+
     def accumulate_nodes(self, y_e):
         """(n_el, n2, k) per-node contributions -> (n_vnodes, k).
 

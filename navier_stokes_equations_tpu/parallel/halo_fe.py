@@ -55,6 +55,7 @@ class HaloFE:
     owned_verts: Any  # (P, n_op_max) global vertex ids, sentinel n_p_glob
     send_nodes: Any  # (P, n_hn_max) local owned positions read by the right neighbor
     send_verts: Any  # (P, n_hp_max)
+    elem_gids: Any  # (P, n_el_loc) global element id of each local slot (-1 pad)
 
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     n_on_max: int = dataclasses.field(metadata=dict(static=True))
@@ -180,6 +181,7 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
 
     elems_p2_loc = np.zeros((n_shards, n_el_loc, n2), np.int32)
     elems_p1_loc = np.zeros((n_shards, n_el_loc, n1), np.int32)
+    elem_gids = np.full((n_shards, n_el_loc), -1, np.int32)
     geo = {
         "jxw": np.zeros((n_shards, n_el_loc, nq)),
         "jinv": np.broadcast_to(np.eye(dim), (n_shards, n_el_loc, dim, dim)).copy(),
@@ -211,6 +213,7 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
         e1[pad_elem[ids]] = owned_v[s][0] if len(owned_v[s]) else 0
         elems_p2_loc[s, : len(ids)] = loc[e2]
         elems_p1_loc[s, : len(ids)] = locp[e1]
+        elem_gids[s, : len(ids)] = ids
         # Strip pad slots keep local id 0 with jxw=0 — inert.
         for k in geo:
             geo[k][s, : len(ids)] = src[k][ids]
@@ -271,6 +274,7 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
         owned_verts=jnp.asarray(owned_verts),
         send_nodes=jnp.asarray(send_nodes),
         send_verts=jnp.asarray(send_verts),
+        elem_gids=jnp.asarray(elem_gids),
         n_shards=n_shards,
         n_on_max=n_on_max,
         n_hn_max=n_hn_max,
@@ -296,6 +300,7 @@ def shard_halo_fe(hfe: HaloFE, device_mesh) -> HaloFE:
         owned_verts=put(hfe.owned_verts),
         send_nodes=put(hfe.send_nodes),
         send_verts=put(hfe.send_verts),
+        elem_gids=put(hfe.elem_gids),
     )
 
 
@@ -390,3 +395,32 @@ def local_fields(hfe: HaloFE, x):
     """Local flat vector (halos imported) -> (u (n_ln, dim), p (n_lp,))."""
     u = x[: hfe.dim * hfe.n_ln].reshape(hfe.dim, hfe.n_ln).T
     return u, x[hfe.dim * hfe.n_ln :]
+
+
+def gather_vel(hfe: HaloFE, x2):
+    """(P, n_ld) owned blocks -> replicated (n_vnodes_glob, dim) velocity.
+
+    The velocity-space analog of the Schur solve's pressure gather in
+    parallel/halo_solver.py — used by the replicated P1-coarse velocity
+    correction (coarse solves are replicated in distributed AMG stacks too).
+    """
+    dim, nvg = hfe.dim, hfe.n_vnodes_glob
+    u_part = x2[:, : dim * hfe.n_ln].reshape(hfe.n_shards, dim, hfe.n_ln)
+    u_own = u_part[:, :, : hfe.n_on_max]
+    u_glob = (
+        jnp.zeros((dim, nvg + 1), x2.dtype)
+        .at[:, hfe.owned_nodes.reshape(-1)]
+        .set(jnp.moveaxis(u_own, 1, 0).reshape(dim, -1))[:, :-1]
+    )
+    return u_glob.T
+
+
+def owned_vel(hfe: HaloFE, u_glob):
+    """Replicated (n_vnodes_glob, dim) velocity -> (P, dim*n_ln) owned rows."""
+    dim = hfe.dim
+    u = jnp.concatenate([u_glob.T, jnp.zeros((dim, 1), u_glob.dtype)], axis=1)
+    u_own = jnp.moveaxis(u[:, hfe.owned_nodes], 1, 0)  # (P, dim, n_on_max)
+    u_loc = jnp.concatenate(
+        [u_own, jnp.zeros((hfe.n_shards, dim, hfe.n_hn_max), u_own.dtype)], axis=2
+    )
+    return u_loc.reshape(hfe.n_shards, dim * hfe.n_ln)

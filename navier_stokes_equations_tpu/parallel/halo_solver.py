@@ -67,11 +67,20 @@ def _unpack(packed, use_supg: bool, newton: bool):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HaloStatics:
-    """Mesh-static local vectors (owned layout), built once."""
+    """Mesh-static local vectors + per-strip functional tables, built once."""
 
     mask: Any  # (P, n_ld) bool — Dirichlet rows
     pin_p: Any  # (P, n_lp) bool — outlet-pinned pressure dofs
     mp_p: Any  # (P, n_lp) lumped pressure mass (1 at pads/pins)
+    # Per-strip benchmark-functional tables (stacked ForceTables leaves with
+    # LOCAL element ids; padded faces carry jxw=0).  The functionals then run
+    # inside shard_map on owned+halo fields with one psum — no global gather
+    # (the reference's functionals are MPI-summed partial integrals too,
+    # NavierStokes.cpp:982-985, 898-900).
+    force: Any  # ForceTables with leading (P,) axis
+    probe_elems: Any  # (P, 2) int32 local element of each probe point (0 pad)
+    probe_bary: Any  # (P, 2, n1) barycentric shape values
+    probe_valid: Any  # (P, 2) 1.0 where this strip owns the probe element
 
 
 class HaloNavierStokesSolver(NavierStokesSolver):
@@ -141,10 +150,22 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         mp_loc = jnp.where(jnp.abs(mp_loc) > 1e-30, mp_loc, 1.0)
         off = hfe.dim * hfe.n_ln
         put = lambda a: jax.device_put(a, self._spec)
+        ft_stack, pel, pbary, pvalid = self._build_halo_functional_tables()
         self.statics = HaloStatics(
             mask=put(mask_loc),
             pin_p=put(pin_loc[:, off:]),
             mp_p=put(mp_loc[:, off:]),
+            force=jax.tree.map(put, ft_stack),
+            probe_elems=put(pel),
+            probe_bary=put(pbary),
+            probe_valid=put(pvalid),
+        )
+        # Global fine-velocity Dirichlet mask for the replicated P1-coarse
+        # velocity correction ((n_vnodes, dim) bool — MBs, not GBs).
+        self._vel_mask_glob = (
+            self.dirichlet.mask[: self.fe.n_udofs]
+            .reshape(self.fe.dim, self.fe.n_vnodes)
+            .T
         )
         self._attempt_jit = jax.jit(self._halo_attempt)
         self._newton_jit = jax.jit(self._halo_newton_step)
@@ -184,6 +205,105 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             state,
             x_old=put(state.x_old),
             x_old_old=put(state.x_old_old),
+        )
+
+    def _build_halo_functional_tables(self):
+        """Per-strip force/probe tables in LOCAL element numbering (host).
+
+        Splits the global cylinder face tables by the strip owning each
+        face's element and rewrites element ids to strip-local slots; probe
+        points are assigned to the one strip owning their element.
+        """
+        import numpy as np
+
+        from ..ops.functionals import ForceTables
+
+        hfe = self.hfe
+        P_ = hfe.n_shards
+        gids = np.asarray(hfe.elem_gids)  # (P, n_el_loc)
+        n_el_glob = self.fe.n_el
+        strip_of = np.full(n_el_glob, -1, np.int64)
+        pos_of = np.zeros(n_el_glob, np.int64)
+        for s in range(P_):
+            m = gids[s] >= 0
+            strip_of[gids[s][m]] = s
+            pos_of[gids[s][m]] = np.nonzero(m)[0]
+
+        ft = self.force_tables
+        elem_g = np.asarray(ft.elem)
+        faces = [np.nonzero(strip_of[elem_g] == s)[0] for s in range(P_)]
+        nf_max = max((len(f) for f in faces), default=0)
+        leaves = {
+            k: np.asarray(getattr(ft, k))
+            for k in ("normals", "jxw", "p2_values", "p2_phys_grads", "p1_values")
+        }
+        elem_loc = np.zeros((P_, nf_max), np.int32)
+        stacked = {
+            k: np.zeros((P_, nf_max) + v.shape[1:], v.dtype) for k, v in leaves.items()
+        }
+        for s in range(P_):
+            f = faces[s]
+            elem_loc[s, : len(f)] = pos_of[elem_g[f]]
+            for k, v in leaves.items():
+                stacked[k][s, : len(f)] = v[f]  # pad faces keep jxw=0 (inert)
+        ft_stack = ForceTables(
+            elem=jnp.asarray(elem_loc),
+            dim=ft.dim,
+            **{k: jnp.asarray(v) for k, v in stacked.items()},
+        )
+
+        pt = self.probe_tables
+        pelem_g = np.asarray(pt.elems)
+        pel = np.zeros((P_, 2), np.int32)
+        pvalid = np.zeros((P_, 2), np.asarray(leaves["jxw"]).dtype)
+        for k in range(2):
+            s = int(strip_of[pelem_g[k]])
+            pel[s, k] = pos_of[pelem_g[k]]
+            pvalid[s, k] = 1.0
+        pbary = np.broadcast_to(np.asarray(pt.bary)[None], (P_, 2, pt.bary.shape[1]))
+        return ft_stack, jnp.asarray(pel), jnp.asarray(np.ascontiguousarray(pbary)), jnp.asarray(pvalid)
+
+    def _functionals_halo(self, hfe, statics, x_flat):
+        """(Cd, Cl, dp) via per-strip partial integrals + one psum each.
+
+        The distributed analog of the reference's MPI-summed surface
+        integrals (NavierStokes.cpp:913-1011, 871-912): each strip
+        integrates its own cylinder faces on owned+halo fields.
+        """
+        cfg = self.cfg
+        ax = self.hfe.axis
+
+        def body(fe_stack, ft_stack, pel, pbary, pvalid, send_n, send_v, x2):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            ft_loc = jax.tree.map(lambda a: a[0], ft_stack)
+            x = hf.import_halo(hfe, x2[0], send_n[0], send_v[0])
+            u, p = hf.local_fields(hfe, x)
+            cd_p, cl_p = functionals.lift_drag(
+                fe_loc, ft_loc, u, p, nu=self.nu, rho=cfg.rho, U_m=cfg.U_m
+            )
+            vals_p = (
+                jnp.einsum(
+                    "kc,kc->k",
+                    pbary[0].astype(p.dtype),
+                    p[fe_loc.elems_p1[pel[0]]],
+                )
+                * pvalid[0]
+            )
+            cd = jax.lax.psum(cd_p, ax)
+            cl = jax.lax.psum(cl_p, ax)
+            vals = jax.lax.psum(vals_p, ax)
+            return cd, cl, vals[0] - vals[1]
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.device_mesh,
+            in_specs=(P(ax),) * 8,
+            out_specs=(P(), P(), P()),
+        )
+        return mapped(
+            hfe.fe_stack, statics.force, statics.probe_elems, statics.probe_bary,
+            statics.probe_valid, hfe.send_nodes, hfe.send_verts,
+            x_flat.reshape(hfe.n_shards, hfe.n_ld),
         )
 
     # --- shard_map helpers (all array structures passed explicitly so the
@@ -326,7 +446,13 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return div_apply
 
     def _make_halo_precond(self, hfe, statics, pops, params, diag2, div_apply):
-        """Cahouet-Chabard on the owned layout (Jacobi velocity sweep)."""
+        """Cahouet-Chabard on the owned layout.
+
+        Velocity step: owned-local Jacobi, plus (``precond_vel_method=
+        "p1coarse"``) the additive P1-coarse correction with a REPLICATED
+        coarse solve — the coarse residual is vertex-sized, gathered to the
+        global space exactly like the Schur's pressure residual below.
+        """
         cfg = self.cfg
         off = hfe.dim * hfe.n_ln
         kp_solve = preconditioners.make_kp_solve(
@@ -335,6 +461,12 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         npg = hfe.n_p_glob
         dt, theta, nu, rho = params.dt, params.theta, params.nu, params.rho
+        p1c = cfg.precond_vel_method.startswith("p1coarse")
+        if p1c:
+            coarse_solve = preconditioners.make_p1_coarse_solve(
+                self.fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters
+            )
+            vmask_glob = self._vel_mask_glob
 
         def precond(r_flat):
             r = r_flat.reshape(hfe.n_shards, hfe.n_ld)
@@ -342,6 +474,14 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             # NavierStokes.hpp:301-304).
             z_u = jnp.where(statics.mask, 0.0, r / diag2)
             z_u = z_u.at[:, off:].set(0.0)
+            if p1c:
+                # Additive P1-coarse correction (replicated, like the Schur).
+                r2 = jnp.where(vmask_glob, 0.0, hf.gather_vel(hfe, r))
+                z1 = coarse_solve(preconditioners.p1_restrict(pops, r2))
+                zc2 = jnp.where(
+                    vmask_glob, 0.0, preconditioners.p1_prolong(pops, z1)
+                )
+                z_u = z_u.at[:, :off].add(hf.owned_vel(hfe, zc2))
             # step 2: t = r_p - B z_u — divergence-only distributed apply.
             t = r[:, off:] - div_apply(z_u)
             t_free = jnp.where(statics.pin_p, 0.0, t)
@@ -414,26 +554,21 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
 
         return self._halo_finalize(
-            state, t_new, hfe, res.x, res.converged, res.iterations, dt_att,
-            jnp.asarray(0, jnp.int32), res.residual,
+            state, t_new, hfe, statics, res.x, res.converged, res.iterations,
+            dt_att, jnp.asarray(0, jnp.int32), res.residual,
         )
 
     def _halo_finalize(
-        self, state, t_new, hfe, x_flat, ok, gmres_its, dt_used, newton_its, resid
+        self, state, t_new, hfe, statics, x_flat, ok, gmres_its, dt_used,
+        newton_its, resid
     ):
         """Functionals + history shift on the distributed state.
 
-        Functionals run on the replicated global fields (one gather per STEP
-        — ~1/35th of the per-iteration work; the reference's functionals are
-        also global reductions, NavierStokes.cpp:913-1011).
+        Functionals run fully distributed: per-strip partial surface
+        integrals on the local force tables + one psum (no global gather —
+        the step is O(local) end to end).
         """
-        cfg = self.cfg
-        x_glob = hf.gather_local(hfe, x_flat.reshape(hfe.n_shards, hfe.n_ld))
-        u, p = self.fe.split(x_glob)
-        cd, cl = functionals.lift_drag(
-            self.fe, self.force_tables, u, p, nu=self.nu, rho=cfg.rho, U_m=cfg.U_m
-        )
-        dp = functionals.pressure_difference(self.fe, self.probe_tables, p)
+        cd, cl, dp = self._functionals_halo(hfe, statics, x_flat)
 
         new_state = State(
             x_old=x_flat,
@@ -566,7 +701,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             cond, body, init
         )
         return self._halo_finalize(
-            state, t_new, hfe, x.reshape(-1), done, total_gmres, dt0, iters, res
+            state, t_new, hfe, statics, x.reshape(-1), done, total_gmres, dt0,
+            iters, res,
         )
 
     # ------------------------------------------------------------------

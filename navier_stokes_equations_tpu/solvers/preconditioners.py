@@ -61,6 +61,17 @@ class PressureOperators:
     eps: float = dataclasses.field(metadata=dict(static=True))
     dense: bool = dataclasses.field(metadata=dict(static=True))
     two_level: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # --- P1-coarse velocity preconditioner statics (p-multigrid) ---------
+    # The coarse space is the P1 vertex subspace of the P2 velocity field on
+    # the SAME mesh; the coarse operator per component is the scalar
+    # (rho/dt) M1 + theta nu K1 — assembled from the very same kp_e/mp_e
+    # element matrices the Schur complement uses.
+    vc_edge_verts: Any = ()  # (n_edges, 2) int32 endpoints of edge node n_p+i
+    vc_gather: Any = ()  # transpose maps: per-vertex incident edge slots
+    vc_mask1: Any = ()  # (n_p, dim) bool Dirichlet mask on coarse dofs
+    vc_m1_diag: Any = ()  # (n_p,) assembled M1 diagonal
+    vc_k1_diag: Any = ()  # (n_p,) assembled K1 diagonal
+    p1_coarse: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def _dense_kp_inverse(fe: FEArrays, kp_e, pin_mask, cache_dir: str = "/tmp/ns_tpu_cache"):
@@ -162,9 +173,107 @@ def _two_level_coarse_inverse(fe: FEArrays, kp_e, pin, agg, n_c, cache_dir="/tmp
     return Kc_inv
 
 
+def _build_p1_coarse(fe: FEArrays, mesh, vel_mask):
+    """Host-side statics for the P1-coarse velocity preconditioner.
+
+    Edge-node endpoints are reconstructed from the element connectivity (an
+    edge node at local position dim+1+i spans TRI/TET_EDGES[i] of its
+    element); the vertex<-edge transpose map turns the P^T restriction into
+    a bucketed row gather.
+    """
+    import numpy as np
+
+    from ..ops import elements as el
+    from ..ops.fe_arrays import _bucketed_transpose_map
+
+    dim, n_p = fe.dim, fe.n_p
+    e2 = np.asarray(fe.elems_p2)[: mesh.n_el_real]
+    n_edges = fe.n_vnodes - n_p
+    edge_verts = np.zeros((n_edges, 2), np.int64)
+    edges = el.TRI_EDGES if dim == 2 else el.TET_EDGES
+    for i, (a, b) in enumerate(edges):
+        ids = e2[:, dim + 1 + i] - n_p
+        edge_verts[ids, 0] = e2[:, a]
+        edge_verts[ids, 1] = e2[:, b]
+    vc_gather = tuple(
+        jnp.asarray(g) for g in _bucketed_transpose_map(edge_verts, n_p, [])
+    )
+    mask1 = np.asarray(vel_mask)[: fe.n_udofs].reshape(dim, fe.n_vnodes)[:, :n_p].T
+
+    k1_diag = jnp.zeros((n_p,), fe.kp_e.dtype).at[fe.elems_p1].add(
+        jnp.diagonal(fe.kp_e, axis1=1, axis2=2)
+    )
+    m1_diag = jnp.zeros((n_p,), fe.mp_e.dtype).at[fe.elems_p1].add(
+        jnp.diagonal(fe.mp_e, axis1=1, axis2=2)
+    )
+    return dict(
+        vc_edge_verts=jnp.asarray(edge_verts, jnp.int32),
+        vc_gather=vc_gather,
+        vc_mask1=jnp.asarray(mask1),
+        vc_m1_diag=m1_diag,
+        vc_k1_diag=k1_diag,
+        p1_coarse=True,
+    )
+
+
+def p1_restrict(pops: PressureOperators, r2):
+    """P^T: (n_vnodes, dim) fine velocity residual -> (n_p, dim) coarse.
+
+    r1[v] = r2[v] + 0.5 * sum over edges incident to v of r2[edge] — the
+    transpose of quadratic-midpoint interpolation, evaluated as a bucketed
+    gather (scatters with duplicates serialize on TPU).
+    """
+    n_p = pops.vc_m1_diag.shape[0]
+    r_edges = r2[n_p:]
+    vals = jnp.broadcast_to(
+        0.5 * r_edges[:, None, :], (r_edges.shape[0], 2, r_edges.shape[1])
+    ).reshape(-1, r_edges.shape[1])
+    flat = jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), vals.dtype)], axis=0)
+    acc = jnp.concatenate([flat[g].sum(axis=1) for g in pops.vc_gather])
+    return r2[:n_p] + acc
+
+
+def p1_prolong(pops: PressureOperators, z1):
+    """P: (n_p, dim) coarse -> (n_vnodes, dim); edge nodes = endpoint mean."""
+    mids = 0.5 * (z1[pops.vc_edge_verts[:, 0]] + z1[pops.vc_edge_verts[:, 1]])
+    return jnp.concatenate([z1, mids], axis=0)
+
+
+def make_p1_coarse_solve(fe: FEArrays, pops: PressureOperators, c_dt, c_nu,
+                         iters: int) -> Callable:
+    """Return solve(r1) ~ A1^{-1} r1 with A1 = c_dt M1 + c_nu K1 per component.
+
+    A1 is SPD and shares the pressure-space element matrices (mp_e, kp_e are
+    the P1 mass/stiffness of the same mesh); the solve is a fixed-budget
+    Jacobi-PCG, all dim components in one pass (row gathers).  Dirichlet
+    coarse dofs act as identity-excluded (residual zeroed, correction
+    zeroed).
+    """
+    mask1 = pops.vc_mask1
+    A1_e = c_dt * fe.mp_e + c_nu * fe.kp_e
+    diag1 = c_dt * pops.vc_m1_diag + c_nu * pops.vc_k1_diag
+    diag1 = jnp.maximum(diag1, 1e-30)[:, None] * jnp.ones_like(mask1, diag1.dtype)
+    diag1 = jnp.where(mask1, 1.0, diag1)
+
+    def apply_a1(z1):
+        z1f = jnp.where(mask1, 0.0, z1)
+        z_e = z1f[fe.elems_p1]  # (n_el, n1, dim)
+        y_e = jnp.einsum("ecf,efd->ecd", A1_e, z_e)
+        y = fe.accumulate_p_rows(y_e)
+        return jnp.where(mask1, z1, y)
+
+    def solve(r1):
+        r1f = jnp.where(mask1, 0.0, r1)
+        z1 = cg.pcg(apply_a1, r1f, diag1, iters=iters)
+        return jnp.where(mask1, 0.0, z1)
+
+    return solve
+
+
 def build_pressure_operators(
     fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0,
-    coords=None, two_level_min: int = 0,
+    coords=None, two_level_min: int = 0, mesh=None, vel_mask=None,
+    p1_coarse: bool = False,
 ) -> PressureOperators:
     kp_e = fe.kp_e + kp_regularization * fe.mp_e
     # Diagonal and lumped mass via scatter-add over pressure connectivity.
@@ -210,10 +319,16 @@ def build_pressure_operators(
         # the CG chain it replaces.
         kp_inv = jnp.asarray(_dense_kp_inverse(fe, kp_e, pin_mask), kp_diag.dtype)
 
+    vc = {}
+    if p1_coarse:
+        if mesh is None or vel_mask is None:
+            raise ValueError("p1_coarse needs mesh and vel_mask")
+        vc = _build_p1_coarse(fe, mesh, vel_mask)
+
     return PressureOperators(
         kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask,
         kp_inv=kp_inv, agg_ids=agg_ids, agg_gather=agg_gather, kc_inv=kc_inv,
-        eps=kp_regularization, dense=dense, two_level=two_level,
+        eps=kp_regularization, dense=dense, two_level=two_level, **vc,
     )
 
 
@@ -297,6 +412,7 @@ def make_cahouet_chabard(
     diag=None,
     nodeblock_inv=None,  # (n_vnodes, dim, dim) for vel_method="nodeblock"
     twolevel_cycles: int = 1,
+    p1_iters: int = 8,  # coarse PCG budget for vel_method="p1coarse*"
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -322,6 +438,19 @@ def make_cahouet_chabard(
         probe = jnp.ones((fe.n_dofs,), diag.dtype).at[n_u:].set(0.0)
         lmax = chebyshev.estimate_lmax(vel_apply, diag, probe, iters=8)
 
+    coarse_solve = None
+    vmask2 = None
+    if vel_method in ("p1coarse", "p1coarse_mult"):
+        if not pops.p1_coarse:
+            raise ValueError(
+                "vel_method='p1coarse' needs build_pressure_operators(..., "
+                "p1_coarse=True)"
+            )
+        coarse_solve = make_p1_coarse_solve(
+            fe, pops, rho / dt, theta * nu, iters=p1_iters
+        )
+        vmask2 = mask[:n_u].reshape(fe.dim, fe.n_vnodes).T
+
     def precond(r):
         # --- step 1: approximate velocity solve --------------------------
         # (ILU(1) in the reference, NavierStokes.hpp:301-304; here a
@@ -329,6 +458,28 @@ def make_cahouet_chabard(
         r_u = r.at[n_u:].set(0.0)
         if vel_method == "chebyshev":
             z = chebyshev.chebyshev(vel_apply, r_u, diag, lmax, degree=vel_degree)
+        elif vel_method in ("p1coarse", "p1coarse_mult"):
+            # p-multigrid two-level: Jacobi fine sweep + a PCG-solved coarse
+            # correction in the P1 vertex subspace (the TPU stand-in for the
+            # reference's ILU(1), NavierStokes.hpp:301-304 — the coarse
+            # level supplies the long-range coupling a diagonal sweep lacks,
+            # at ~0.15x an operator application per coarse iteration).
+            r2 = r_u[:n_u].reshape(fe.dim, fe.n_vnodes).T
+            rf = jnp.where(vmask2, 0.0, r2)
+            z1 = coarse_solve(p1_restrict(pops, rf))
+            zc2 = jnp.where(vmask2, 0.0, p1_prolong(pops, z1))
+            zc = jnp.concatenate(
+                [zc2.T.reshape(-1), jnp.zeros((fe.n_dofs - n_u,), r.dtype)]
+            )
+            if vel_method == "p1coarse_mult":
+                # Multiplicative: post-smooth the coarse correction with one
+                # Jacobi sweep on the fine residual (one velocity apply).
+                resid = r_u - vel_apply(zc)
+                resid = resid.at[n_u:].set(0.0)
+                z = zc + resid / diag
+            else:
+                # Additive two-level (no fine operator application).
+                z = r_u / diag + zc
         elif vel_method == "nodeblock":
             # dim x dim node-diagonal blocks: captures the grad-div /
             # SUPG component coupling that scalar Jacobi ignores.
