@@ -57,6 +57,10 @@ def parse_args(argv=None):
         help="coarse PCG budget for --vel-precond p1coarse*",
     )
     p.add_argument(
+        "--schur", default=None, choices=["cc", "pcd"],
+        help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -105,6 +109,8 @@ def main(argv=None):
         over["precond_vel_method"] = args.vel_precond
     if args.p1_iters is not None:
         over["precond_p1_iters"] = args.p1_iters
+    if args.schur:
+        over["precond_schur"] = args.schur
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -116,6 +116,11 @@ class SolverConfig:
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
     precond_vel_sweeps: int = 1  # Jacobi sweeps when vel_method="jacobi"
     precond_p1_iters: int = 8  # coarse PCG budget for vel_method="p1coarse*"
+    # Schur approximation: "cc" (Cahouet-Chabard, the reference's structure,
+    # NavierStokes.hpp:279-366) or "pcd" (pressure convection-diffusion —
+    # adds the pressure-space advection term N_p(u*) to the Schur action,
+    # the ESW recipe for convection-dominated regimes).
+    precond_schur: str = "cc"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
     precond_twolevel_cycles: int = 1  # V-cycles of the aggregation two-grid Schur
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)

@@ -144,7 +144,7 @@ class NavierStokesSolver:
 
     def _solve_linear(
         self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None,
-        diag=None, nodeblock_inv=None,
+        diag=None, nodeblock_inv=None, u_adv=None,
     ):
         """Constrain, precondition and solve one linear system.
 
@@ -185,6 +185,7 @@ class NavierStokesSolver:
             nodeblock_inv=nodeblock_inv,
             twolevel_cycles=cfg.precond_twolevel_cycles,
             p1_iters=cfg.precond_p1_iters,
+            schur=cfg.precond_schur, u_adv=u_adv,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
@@ -272,13 +273,14 @@ class NavierStokesSolver:
             res = self._solve_linear(
                 fe, pops, None, b, g, dt_att, th, x_start,
                 cfg.gmres_maxiter_linear, op=op, diag=diag,
-                nodeblock_inv=nodeblock_inv,
+                nodeblock_inv=nodeblock_inv, u_adv=u_star,
             )
         else:
             A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
             b = operators.scatter_add(fe, b_e)
             res = self._solve_linear(
-                fe, pops, A_e, b, g, dt_att, th, x_start, cfg.gmres_maxiter_linear
+                fe, pops, A_e, b, g, dt_att, th, x_start,
+                cfg.gmres_maxiter_linear, u_adv=u_star,
             )
         return res.x, res.converged, res.iterations, dt_att
 
@@ -388,8 +390,8 @@ class NavierStokesSolver:
                     d1,
                 )
                 op = None
+                u_x, _ = fe.split(x)
                 if quad:
-                    u_x, _ = fe.split(x)
                     op = matfree.make_system_operator(
                         fe, params, u_x, newton_reaction=True
                     )
@@ -397,7 +399,7 @@ class NavierStokesSolver:
                     fe, pops, None if quad else Ad, b_hat, g * 0.0, dt0,
                     theta_eff, jnp.zeros_like(x), cfg.gmres_maxiter_newton,
                     rtol=cfg.gmres_rtol_newton, op=op,
-                    diag=Ad if quad else None,
+                    diag=Ad if quad else None, u_adv=u_x,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))

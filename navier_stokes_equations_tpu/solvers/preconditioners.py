@@ -413,6 +413,8 @@ def make_cahouet_chabard(
     nodeblock_inv=None,  # (n_vnodes, dim, dim) for vel_method="nodeblock"
     twolevel_cycles: int = 1,
     p1_iters: int = 8,  # coarse PCG budget for vel_method="p1coarse*"
+    schur: str = "cc",  # "cc" (Cahouet-Chabard) | "pcd"
+    u_adv=None,  # (n_vnodes, dim) advection field (u* / u_k) for schur="pcd"
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -437,6 +439,12 @@ def make_cahouet_chabard(
         # operator (convection changes it); reduction-light power iteration.
         probe = jnp.ones((fe.n_dofs,), diag.dtype).at[n_u:].set(0.0)
         lmax = chebyshev.estimate_lmax(vel_apply, diag, probe, iters=8)
+
+    uadv_q = None
+    if schur == "pcd":
+        if u_adv is None:
+            raise ValueError("schur='pcd' needs the advection field u_adv")
+        uadv_q = jnp.einsum("qa,ead->eqd", fe.p2_val, u_adv[fe.elems_p2])
 
     coarse_solve = None
     vmask2 = None
@@ -498,10 +506,30 @@ def make_cahouet_chabard(
         # --- step 2: t = r_p - B z_u ------------------------------------
         t = r[n_u:] - div_apply(z_u)
 
-        # --- step 3: Cahouet-Chabard Schur action ------------------------
+        # --- step 3: Schur action ----------------------------------------
         t_free = jnp.where(pops.pin_mask, 0.0, t)
         kp_inv_t = kp_solve(t_free)
-        z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
+        if schur == "pcd":
+            # Pressure convection-diffusion (Elman-Silvester-Wathen):
+            #   S^{-1} ~ -M_p^{-1} F_p K_p^{-1},
+            #   F_p = (rho/dt) M_p + theta (nu K_p + N_p(u*)).
+            # With N_p dropped this reduces EXACTLY to Cahouet-Chabard
+            # ((rho/dt) K_p^{-1} + theta nu M_p^{-1}); the convection term
+            # N_p y = int psi (u* . grad y) adds the reaction the reference's
+            # CC preconditioner ignores — config-gated, default "cc".
+            y = jnp.where(pops.pin_mask, 0.0, kp_inv_t)
+            y_e = y[fe.elems_p1]
+            AF_e = (rho / dt) * fe.mp_e + (theta * nu) * fe.kp_e
+            w = fe.accumulate_p(jnp.einsum("ecf,ef->ec", AF_e, y_e))
+            g1p = fe.phys_grads_p1()
+            gy = jnp.einsum("ec,ecd->ed", y_e, g1p)  # grad y, const/element
+            adv = jnp.einsum("eqd,ed->eq", uadv_q, gy)
+            w = w + theta * fe.accumulate_p(
+                jnp.einsum("eq,qc,eq->ec", fe.jxw, fe.p1_val, adv)
+            )
+            z_p = -jnp.where(pops.pin_mask, 0.0, w) / pops.mp_lumped
+        else:
+            z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
         z_p = jnp.where(pops.pin_mask, t, z_p)
 
         return z_u.at[n_u:].set(z_p)
