@@ -186,6 +186,7 @@ class NavierStokesSolver:
             twolevel_cycles=cfg.precond_twolevel_cycles,
             p1_iters=cfg.precond_p1_iters,
             schur=cfg.precond_schur, u_adv=u_adv,
+            gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,

@@ -464,7 +464,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         p1c = cfg.precond_vel_method.startswith("p1coarse")
         if p1c:
             coarse_solve = preconditioners.make_p1_coarse_solve(
-                self.fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters
+                self.fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters,
+                gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             )
             vmask_glob = self._vel_mask_glob
 
