@@ -487,8 +487,33 @@ class NavierStokesSolver:
             jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype),
         )
 
+    def _pull_metrics(self, m: StepMetrics) -> StepMetrics:
+        """ALL step metrics in ONE device->host transfer (python scalars).
+
+        Every separate pull is a full round-trip over the (possibly remote)
+        device link (~30-40 ms on the axon tunnel); the ladder's convergence
+        check and the driver's logging share this single stacked read.
+        """
+        f32 = jnp.float32
+        vals = np.asarray(
+            jnp.stack(
+                [
+                    m.time.astype(f32), m.drag.astype(f32), m.lift.astype(f32),
+                    m.delta_p.astype(f32), m.gmres_iters.astype(f32),
+                    m.newton_iters.astype(f32), m.converged.astype(f32),
+                    m.residual.astype(f32), m.dt_used.astype(f32),
+                ]
+            )
+        )
+        return StepMetrics(
+            time=float(vals[0]), drag=float(vals[1]), lift=float(vals[2]),
+            delta_p=float(vals[3]), gmres_iters=int(vals[4]),
+            newton_iters=int(vals[5]), converged=bool(vals[6]),
+            residual=float(vals[7]), dt_used=float(vals[8]),
+        )
+
     def step(self, state: State) -> tuple[State, StepMetrics]:
-        """One time step.
+        """One time step; returned metrics are host scalars (one pull).
 
         Linearized path: the ladder's retry decisions run on the host (one
         cheap sync per step) with a single compiled attempt program — large
@@ -496,20 +521,20 @@ class NavierStokesSolver:
         fully jitted.
         """
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            return self._step_jit(state, self.fe, self.pressure_ops)
+            new_state, m = self._step_jit(state, self.fe, self.pressure_ops)
+            return new_state, self._pull_metrics(m)
         its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(
                 state, self._k_consts[k], self.fe, self.pressure_ops
             )
-            # Happy path costs exactly ONE device->host scalar read.
-            if bool(m.converged) or k == self._n_trials - 1:
+            # Happy path costs exactly ONE device->host transfer.
+            m = self._pull_metrics(m)
+            if m.converged or k == self._n_trials - 1:
                 break
-            its_prev += int(m.gmres_iters)
+            its_prev += m.gmres_iters
         if its_prev:
-            m = dataclasses.replace(
-                m, gmres_iters=jnp.asarray(its_prev + int(m.gmres_iters), jnp.int32)
-            )
+            m = dataclasses.replace(m, gmres_iters=its_prev + m.gmres_iters)
         return new_state, m
 
     # ------------------------------------------------------------------
@@ -530,35 +555,22 @@ class NavierStokesSolver:
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         n = n_steps if n_steps is not None else self.n_steps()
         history = []
+        step_no = int(state.step)
         for _ in range(n):
             t0 = _time.perf_counter()
+            # step() already pulled every metric in ONE stacked transfer.
             state, m = self.step(state)
-            # ONE device->host transfer for all metrics: each pull pays a
-            # full round-trip over the (possibly remote) device link.
-            vals = np.asarray(
-                jnp.stack(
-                    [
-                        m.time.astype(jnp.float32),
-                        m.drag.astype(jnp.float32),
-                        m.lift.astype(jnp.float32),
-                        m.delta_p.astype(jnp.float32),
-                        m.gmres_iters.astype(jnp.float32),
-                        m.newton_iters.astype(jnp.float32),
-                        m.converged.astype(jnp.float32),
-                        state.step.astype(jnp.float32),
-                    ]
-                )
-            )
             wall = _time.perf_counter() - t0
+            step_no += 1
             rec = {
-                "step": int(vals[7]),
-                "time": float(vals[0]),
-                "Cd": float(vals[1]),
-                "Cl": float(vals[2]),
-                "DeltaP": float(vals[3]),
-                "gmres_iters": int(vals[4]),
-                "newton_iters": int(vals[5]),
-                "converged": bool(vals[6]),
+                "step": step_no,
+                "time": m.time,
+                "Cd": m.drag,
+                "Cl": m.lift,
+                "DeltaP": m.delta_p,
+                "gmres_iters": m.gmres_iters,
+                "newton_iters": m.newton_iters,
+                "converged": m.converged,
                 "wall": wall,
             }
             # Instantaneous Re for sin(pi t/8)-modulated inlets

@@ -710,19 +710,21 @@ class HaloNavierStokesSolver(NavierStokesSolver):
     def step(self, state: State):
         """Host-side retry ladder (one compiled attempt program, k traced)."""
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
-            return self._newton_jit(state, self.hfe, self.pressure_ops, self.statics)
+            new_state, m = self._newton_jit(
+                state, self.hfe, self.pressure_ops, self.statics
+            )
+            return new_state, self._pull_metrics(m)
         its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(
                 state, self._k_consts[k], self.hfe, self.pressure_ops, self.statics
             )
-            if bool(m.converged) or k == self._n_trials - 1:
+            m = self._pull_metrics(m)
+            if m.converged or k == self._n_trials - 1:
                 break
-            its_prev += int(m.gmres_iters)
+            its_prev += m.gmres_iters
         if its_prev:
-            m = dataclasses.replace(
-                m, gmres_iters=jnp.asarray(its_prev + int(m.gmres_iters), jnp.int32)
-            )
+            m = dataclasses.replace(m, gmres_iters=its_prev + m.gmres_iters)
         return new_state, m
 
     def run_async(self, n_steps: int, state: Optional[State] = None, window: int = 1):

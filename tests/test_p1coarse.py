@@ -66,7 +66,10 @@ def test_coarse_solve_reduces_residual(setup):
 @pytest.mark.parametrize("method", ["p1coarse", "p1coarse_mult"])
 def test_e2e_matches_jacobi_trajectory(mesh2d_path, method):
     """Same physics as the Jacobi-preconditioned solver, to solve tolerance."""
-    cfg0 = dataclasses.replace(test_cases.make("2D-2", deltat=0.01), dtype="float64")
+    cfg0 = dataclasses.replace(
+        test_cases.make("2D-2", deltat=0.01), dtype="float64",
+        precond_vel_method="jacobi",
+    )
     cfg1 = dataclasses.replace(cfg0, precond_vel_method=method, precond_p1_iters=8)
     s0 = solver.NavierStokesSolver(cfg0, mesh2d_path)
     s1 = solver.NavierStokesSolver(cfg1, mesh2d_path)
