@@ -55,11 +55,13 @@ def main():
     cfg = dataclasses.replace(test_cases.make("2D-2", deltat=0.01), dtype="float32")
     s = solver.NavierStokesSolver(cfg, mesh)
 
-    warmup_steps = int(os.environ.get("BENCH_WARMUP_STEPS", "120"))
-    timed_steps = int(os.environ.get("BENCH_TIMED_STEPS", "100"))
+    warmup_steps = int(os.environ.get("BENCH_WARMUP_STEPS", "500"))
+    timed_steps = int(os.environ.get("BENCH_TIMED_STEPS", "150"))
 
-    # Warm up into the developed-flow regime (past the 2 s inlet ramp the
-    # solver works hardest; timing the quiescent start would flatter us).
+    # Warm up into DEVELOPED vortex shedding (t=5: past the ramp AND the
+    # shedding onset at t~3-4 — the regime where the solver works hardest
+    # and where the reference's 0.31 steps/s average actually lives; timing
+    # the quiescent start would flatter us by ~20%).
     state = s.initial_state()
     state, m = s.run_async(warmup_steps, state)
     jax.block_until_ready(state.x_old)
@@ -72,7 +74,7 @@ def main():
 
     steps_per_sec = timed_steps / elapsed
     result = {
-        "metric": f"2D-2 steps/sec ({mesh_name}, dt=0.01, {jax.devices()[0].platform})",
+        "metric": f"2D-2 steps/sec ({mesh_name}, dt=0.01, developed flow, {jax.devices()[0].platform})",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
