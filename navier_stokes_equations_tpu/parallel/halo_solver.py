@@ -445,13 +445,17 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         return div_apply
 
-    def _make_halo_precond(self, hfe, statics, pops, params, diag2, div_apply):
+    def _make_halo_precond(self, hfe, statics, pops, params, diag2, div_apply,
+                           apply_a=None):
         """Cahouet-Chabard on the owned layout.
 
         Velocity step: owned-local Jacobi, plus (``precond_vel_method=
-        "p1coarse"``) the additive P1-coarse correction with a REPLICATED
-        coarse solve — the coarse residual is vertex-sized, gathered to the
-        global space exactly like the Schur's pressure residual below.
+        "p1coarse"``/``"p1coarse_mult"``) the P1-coarse correction with a
+        REPLICATED coarse solve — the coarse residual is vertex-sized,
+        gathered to the global space exactly like the Schur's pressure
+        residual below.  The multiplicative variant post-smooths with one
+        distributed matvec (``apply_a``: the trial pressure is zero so its
+        velocity rows are exactly A_vv z_c).
         """
         cfg = self.cfg
         off = hfe.dim * hfe.n_ln
@@ -462,6 +466,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         npg = hfe.n_p_glob
         dt, theta, nu, rho = params.dt, params.theta, params.nu, params.rho
         p1c = cfg.precond_vel_method.startswith("p1coarse")
+        mult = cfg.precond_vel_method == "p1coarse_mult" and apply_a is not None
         if p1c:
             coarse_solve = preconditioners.make_p1_coarse_solve(
                 self.fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters,
@@ -471,18 +476,26 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         def precond(r_flat):
             r = r_flat.reshape(hfe.n_shards, hfe.n_ld)
+            r_u = r.at[:, off:].set(0.0)
             # step 1: Jacobi velocity solve (owned-local; reference ILU(1),
             # NavierStokes.hpp:301-304).
-            z_u = jnp.where(statics.mask, 0.0, r / diag2)
+            z_u = jnp.where(statics.mask, 0.0, r_u / diag2)
             z_u = z_u.at[:, off:].set(0.0)
             if p1c:
-                # Additive P1-coarse correction (replicated, like the Schur).
+                # P1-coarse correction (replicated, like the Schur).
                 r2 = jnp.where(vmask_glob, 0.0, hf.gather_vel(hfe, r))
                 z1 = coarse_solve(preconditioners.p1_restrict(pops, r2))
                 zc2 = jnp.where(
                     vmask_glob, 0.0, preconditioners.p1_prolong(pops, z1)
                 )
-                z_u = z_u.at[:, :off].add(hf.owned_vel(hfe, zc2))
+                zc = jnp.zeros_like(r).at[:, :off].set(hf.owned_vel(hfe, zc2))
+                if mult:
+                    resid = r_u - apply_a(zc.reshape(-1)).reshape(r.shape)
+                    resid = resid.at[:, off:].set(0.0)
+                    z_u = (zc + resid / diag2).at[:, off:].set(0.0)
+                    z_u = jnp.where(statics.mask, 0.0, z_u)
+                else:
+                    z_u = z_u + zc
             # step 2: t = r_p - B z_u — divergence-only distributed apply.
             t = r[:, off:] - div_apply(z_u)
             t_free = jnp.where(statics.pin_p, 0.0, t)
@@ -547,7 +560,9 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         apply_a = self._make_matvec(hfe, statics, params, tables)
         div_apply = self._make_div_apply(hfe, params)
-        precond = self._make_halo_precond(hfe, statics, pops, params, diag2, div_apply)
+        precond = self._make_halo_precond(
+            hfe, statics, pops, params, diag2, div_apply, apply_a=apply_a
+        )
         res = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond, x0=x0.reshape(-1),
             restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_linear,
@@ -658,7 +673,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
                 div_apply = self._make_div_apply(hfe, params)
                 precond = self._make_halo_precond(
-                    hfe, statics, pops, params, diag2, div_apply
+                    hfe, statics, pops, params, diag2, div_apply, apply_a=apply_a
                 )
                 sol = gmres.fgmres(
                     apply_a, b_hat.reshape(-1), precond=precond,
