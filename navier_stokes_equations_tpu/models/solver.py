@@ -391,16 +391,31 @@ class NavierStokesSolver:
                     d1,
                 )
                 op = None
+                nodeblock_inv = None
                 u_x, _ = fe.split(x)
                 if quad:
                     op = matfree.make_system_operator(
                         fe, params, u_x, newton_reaction=True
+                    )
+                if cfg.precond_vel_method == "nodeblock":
+                    # Same dim x dim node blocks as the linearized path,
+                    # linearized about the current Newton iterate.
+                    Bn = assembly.oseen_nodeblock_diag(fe, params, u_x)
+                    Bacc = fe.accumulate_nodes(
+                        Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
+                    ).reshape(fe.n_vnodes, fe.dim, fe.dim)
+                    mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
+                    either = mu[:, :, None] | mu[:, None, :]
+                    eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
+                    nodeblock_inv = assembly.invert_spd_blocks(
+                        jnp.where(either, eye, Bacc)
                     )
                 sol = self._solve_linear(
                     fe, pops, None if quad else Ad, b_hat, g * 0.0, dt0,
                     theta_eff, jnp.zeros_like(x), cfg.gmres_maxiter_newton,
                     rtol=cfg.gmres_rtol_newton, op=op,
                     diag=Ad if quad else None, u_adv=u_x,
+                    nodeblock_inv=nodeblock_inv,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
@@ -609,7 +624,15 @@ class NavierStokesSolver:
         """
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
-        if self.cfg.nonlinear_method == NonlinearMethod.NEWTON or window <= 1:
+        if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            # Fully jitted step: dispatch all n steps with ZERO per-step
+            # pulls (the in-graph damping loop needs no host decisions),
+            # then pull the last step's metrics once.
+            m = None
+            for _ in range(n_steps):
+                state, m = self._step_jit(state, self.fe, self.pressure_ops)
+            return state, (self._pull_metrics(m) if m is not None else m)
+        if window <= 1:
             m = None
             for _ in range(n_steps):
                 state, m = self.step(state)

@@ -103,6 +103,16 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         device_mesh=None,
         n_q1d: int = 3,
     ):
+        if cfg.precond_vel_method not in ("jacobi", "p1coarse", "p1coarse_mult"):
+            raise NotImplementedError(
+                f"halo layout supports velocity preconditioners jacobi/"
+                f"p1coarse/p1coarse_mult, not {cfg.precond_vel_method!r}"
+            )
+        if cfg.precond_schur != "cc":
+            raise NotImplementedError(
+                "halo layout implements the Cahouet-Chabard Schur action only"
+                f" (precond_schur='cc'), not {cfg.precond_schur!r}"
+            )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
             n_shards = len(jax.devices())

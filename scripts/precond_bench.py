@@ -58,25 +58,14 @@ def main(argv):
             st = _jax.tree.map(lambda a: jnp.array(a, copy=True), st_warm)
         st, m0 = s.step(st)  # compile + step 1
         _ = float(m0.drag)  # force execution (axon defers until first pull)
-        import jax.numpy as _jnp
-        import numpy as _np
-
         t0 = time.perf_counter()
         its = nits = 0
         for _ in range(steps):
+            # step() pulls all metrics in ONE stacked D2H transfer and
+            # returns host scalars.
             st, m = s.step(st)
-            # ONE stacked D2H pull: each separate pull is a full round-trip
-            # over the axon tunnel (~30-40 ms).
-            v = _np.asarray(
-                _jnp.stack(
-                    [
-                        m.gmres_iters.astype(_jnp.float32),
-                        m.newton_iters.astype(_jnp.float32),
-                    ]
-                )
-            )
-            its += int(v[0])
-            nits += int(v[1])
+            its += m.gmres_iters
+            nits += m.newton_iters
         wall = time.perf_counter() - t0
         print(
             f"[{meth}] {wall / steps:.3f} s/step  {its / steps:.1f} its/step  "

@@ -17,24 +17,41 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
+# Current-default (P1-coarse-preconditioned) trace names; the bare-name
+# files in validation/ are the older Jacobi-preconditioned generation
+# (kept for the tolerance-error comparison, see validation/README.md).
 RUNS = {
     "2d1": (
-        ["--case", "2D-1", "--mesh", "/root/reference/meshes/mesh-2D-100.msh"],
-        "forces_2d1_mesh-2D-100_tpu_f32.txt",
+        ["--case", "2D-1", "--mesh", "/root/reference/meshes/mesh-2D-100.msh",
+         "--steps", "50"],
+        "forces_2d1_mesh-2D-100_tpu_f32_p1coarse.txt",
     ),
     "2d2": (
         ["--case", "2D-2", "--mesh", "/root/reference/meshes/mesh-2D-100.msh",
          "--deltat", "0.01"],
-        "forces_2d2_mesh-2D-100_tpu_f32.txt",
+        "forces_2d2_mesh-2D-100_tpu_f32_p1coarse.txt",
+    ),
+    "2d3": (
+        ["--case", "2D-3", "--mesh", "/root/reference/meshes/mesh-2D-100.msh"],
+        "forces_2d3_mesh-2D-100_tpu_f32_p1coarse.txt",
     ),
     "2d2_t25": (
         ["--case", "2D-2", "--mesh", "/root/reference/meshes/mesh-2D-100.msh",
          "--deltat", "0.01", "--T", "25"],
-        "forces_2d2_T25_mesh-2D-100_tpu_f32.txt",
+        "forces_2d2_T25_mesh-2D-100_tpu_f32_p1coarse.txt",
+    ),
+    "3d1z": (
+        ["--case", "3D-1Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-medium.msh"),
+         "--steps", "50"],
+        "forces_3d1z_mesh-3D-medium_tpu_f32_p1coarse.txt",
     ),
     "3d2z": (
         ["--case", "3D-2Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-medium.msh")],
-        "forces_3d2z_mesh-3D-medium_tpu_f32.txt",
+        "forces_3d2z_mesh-3D-medium_tpu_f32_p1coarse.txt",
+    ),
+    "3d3z": (
+        ["--case", "3D-3Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-medium.msh")],
+        "forces_3d3z_mesh-3D-medium_tpu_f32_p1coarse.txt",
     ),
 }
 
