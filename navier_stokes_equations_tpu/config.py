@@ -116,6 +116,15 @@ class SolverConfig:
     precond_vel_degree: int = 6  # Chebyshev polynomial degree (velocity block)
     precond_vel_sweeps: int = 1  # Jacobi sweeps when vel_method="jacobi"
     precond_p1_iters: int = 8  # coarse PCG budget for vel_method="p1coarse*"
+    # Newton driver: the fully-jitted while_loop packs the WHOLE step
+    # (<=50 Newton iterations x <=500-iteration solves) into one device
+    # program — on large meshes a single call can run for minutes, which
+    # the (axon) TPU worker kills as a fault.  "host" drives the damping
+    # loop from the host with one jitted call per assembly/solve (exactly
+    # the reference's structure, NavierStokes.cpp:1144-1201; one ~35 ms
+    # metrics pull per Newton iteration — negligible at that scale).
+    # "auto": host loop for n_dofs > 200k, in-graph otherwise.
+    newton_driver: str = "auto"  # "auto" | "graph" | "host"
     # Schur approximation: "cc" (Cahouet-Chabard, the reference's structure,
     # NavierStokes.hpp:279-366) or "pcd" (pressure convection-diffusion —
     # adds the pressure-space advection term N_p(u*) to the Schur action,

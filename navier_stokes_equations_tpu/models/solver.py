@@ -108,6 +108,21 @@ class NavierStokesSolver:
         # Trial indices as device constants: uploading a fresh scalar every
         # step adds an H2D round-trip over the (remote) device link.
         self._k_consts = [jnp.asarray(k, jnp.int32) for k in range(self._n_trials)]
+        # Host-driven Newton loop (bounded device-call length) for large
+        # meshes — see config.newton_driver.
+        self._newton_host = cfg.newton_driver == "host" or (
+            cfg.newton_driver == "auto" and self.fe.n_dofs > 200_000
+        )
+        self._newton_asm_jit = jax.jit(self._newton_asm_step)
+        self._newton_slv_jit = jax.jit(self._newton_slv_step)
+        self._newton_fin_jit = jax.jit(self._newton_fin)
+        self._newton_x0_jit = jax.jit(
+            lambda state, t_new: jnp.where(
+                self.dirichlet.mask,
+                self.dirichlet.values(self.cfg.inlet_profile, t_new),
+                state.x_old,
+            )
+        )
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -313,6 +328,173 @@ class NavierStokesSolver:
         return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
+    def _newton_params(self, theta):
+        cfg = self.cfg
+        return assembly.StepParams(
+            dt=jnp.asarray(self.dt0, self.dtype), theta=theta,
+            nu=jnp.asarray(self.nu, self.dtype), rho=cfg.rho,
+            gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+
+    def _newton_residual_system(self, fe, params, x, u_old, f_new, f_old):
+        """(A_e | global diagonal, constrained rhs) at the iterate ``x``.
+
+        On the quadrature path the Newton iteration never forms the
+        (nd, nd) element matrices: the Krylov operator is the matfree
+        Jacobian apply and the preconditioner needs only the diagonal
+        (assembly.newton_rhs_diag) — the dominant per-iteration assembly
+        cost in the matrix path.
+        """
+        mask = self.dirichlet.mask
+        u, p = fe.split(x)
+        if self.cfg.operator_path == "quadrature":
+            diag_e, b_e = assembly.newton_rhs_diag(
+                fe, params, u, p, u_old, f_new, f_old
+            )
+            Ad = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
+            Ad = jnp.where(jnp.abs(Ad) > 1e-30, Ad, 1.0)
+        else:
+            Ad, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
+        b = operators.scatter_add(fe, b_e)
+        # Homogeneous constraints on the update (g = 0): rhs rows zeroed.
+        b_hat = jnp.where(mask, 0.0, b)
+        return Ad, b_hat
+
+    def _newton_linear_solve(self, fe, pops, params, x, b_hat, Ad, d1, resid_args):
+        """Damped update x + d2*dx with post-failure backtracking (jittable).
+
+        Mirrors NavierStokes.cpp:1171-1198; ``d1`` is the pre-solve damping,
+        the returned damping reflects the linear-failure reduction.
+        """
+        cfg = self.cfg
+        quad = cfg.operator_path == "quadrature"
+        mask = self.dirichlet.mask
+        op = None
+        nodeblock_inv = None
+        u_x, _ = fe.split(x)
+        if quad:
+            op = matfree.make_system_operator(fe, params, u_x, newton_reaction=True)
+        if cfg.precond_vel_method == "nodeblock":
+            Bn = assembly.oseen_nodeblock_diag(fe, params, u_x)
+            Bacc = fe.accumulate_nodes(
+                Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
+            ).reshape(fe.n_vnodes, fe.dim, fe.dim)
+            mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
+            either = mu[:, :, None] | mu[:, None, :]
+            eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
+            nodeblock_inv = assembly.invert_spd_blocks(jnp.where(either, eye, Bacc))
+        sol = self._solve_linear(
+            fe, pops, None if quad else Ad, b_hat,
+            jnp.zeros_like(b_hat), params.dt, params.theta,
+            jnp.zeros_like(x), cfg.gmres_maxiter_newton,
+            rtol=cfg.gmres_rtol_newton, op=op,
+            diag=Ad if quad else None, u_adv=u_x,
+            nodeblock_inv=nodeblock_inv,
+        )
+        lin_ok = sol.converged
+        d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
+        x_new = x + d2 * sol.x
+        res = jnp.linalg.norm(b_hat)
+
+        def backtrack(args):
+            x_new, d2 = args
+            _, b2 = self._newton_residual_system(
+                fe, params, x_new, resid_args[0], resid_args[1], resid_args[2]
+            )
+            new_res = jnp.linalg.norm(b2)
+            bad = new_res > 2.0 * res
+            d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
+            x_bt = jnp.where(bad, x + d3 * sol.x, x_new)
+            return x_bt, d3
+
+        x_out, d_out = jax.lax.cond(
+            ~lin_ok, backtrack, lambda a: a, (x_new, d2)
+        )
+        return x_out, d_out, sol.iterations
+
+    # --- host-driven Newton loop (bounded device-call length) -----------
+    def _newton_asm_step(self, x, x_old, t_new, theta, fe, pops):
+        params = self._newton_params(theta)
+        u_old, _ = fe.split(x_old)
+        f_new, f_old = self._forcing_at(fe, t_new, params.dt)
+        Ad, b_hat = self._newton_residual_system(fe, params, x, u_old, f_new, f_old)
+        return Ad, b_hat, jnp.linalg.norm(b_hat)
+
+    def _newton_slv_step(self, x, x_old, b_hat, Ad, t_new, theta, d1, fe, pops):
+        params = self._newton_params(theta)
+        u_old, _ = fe.split(x_old)
+        f_new, f_old = self._forcing_at(fe, t_new, params.dt)
+        return self._newton_linear_solve(
+            fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old)
+        )
+
+    def _newton_fin(self, state, t_new, x, ok, its, nits, res, fe):
+        return self._finalize(
+            state, t_new, fe, x, ok, its,
+            jnp.asarray(self.dt0, self.dtype), nits, res,
+        )
+
+    def _newton_host_step(self, state: State) -> tuple[State, StepMetrics]:
+        """Host-driven damped Newton (reference: NavierStokes.cpp:1144-1201).
+
+        One jitted device call per assembly and per linear solve keeps every
+        device program seconds-long — a fully-jitted 3D step packs minutes
+        of work into ONE program, which the (axon) TPU worker kills as a
+        fault.  Costs two scalar pulls per Newton iteration (~70 ms),
+        negligible against large-mesh iteration times.
+        """
+        cfg = self.cfg
+        fe, pops = self.fe, self.pressure_ops
+        first = bool(state.first_step)  # one pull
+        theta_eff = (
+            1.0
+            if (first and cfg.time_scheme == TimeScheme.CRANK_NICOLSON)
+            else cfg.theta
+        )
+        th = jnp.asarray(theta_eff, self.dtype)
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        x = self._newton_x0_jit(state, t_new)
+
+        prev = float("inf")
+        res0 = None
+        stall = 0
+        d = 1.0
+        tg = jnp.asarray(0, jnp.int32)
+        iters = 0
+        done = False
+        res = float("inf")
+        res_dev = jnp.asarray(0.0, self.dtype)
+        for it in range(cfg.newton_max_iterations):
+            Ad, b_hat, res_dev = self._newton_asm_jit(
+                x, state.x_old, t_new, th, fe, pops
+            )
+            res = float(res_dev)  # pull #1
+            if it == 0:
+                res0 = res
+            stall = stall + 1 if res > 0.9 * prev else 0
+            if res < cfg.newton_tolerance or res < cfg.newton_rtol * res0 or stall >= 3:
+                done = True
+                break
+            d1 = d
+            if it > 0 and res > 0.99 * prev:
+                d1 = max(0.05, d * 0.5)
+            if res < 0.5 * prev and d1 < 1.0 - 1e-12:
+                d1 = min(1.0, d1 * 1.5)
+            x, d_dev, its_dev = self._newton_slv_jit(
+                x, state.x_old, b_hat, Ad, t_new, th,
+                jnp.asarray(d1, self.dtype), fe, pops,
+            )
+            d = float(d_dev)  # pull #2
+            tg = tg + its_dev
+            prev = res
+            iters += 1
+
+        new_state, m = self._newton_fin_jit(
+            state, t_new, x, jnp.asarray(done), tg,
+            jnp.asarray(iters, jnp.int32), res_dev, fe,
+        )
+        return new_state, self._pull_metrics(m)
+
     def _newton_advance(self, state: State, t_new, fe, pops):
         cfg = self.cfg
         mask = self.dirichlet.mask
@@ -330,30 +512,8 @@ class NavierStokesSolver:
         )
         f_new, f_old = self._forcing_at(fe, t_new, dt0)
 
-        quad = cfg.operator_path == "quadrature"
-
         def residual_system(x):
-            """Returns (A_e | global diagonal, constrained rhs).
-
-            On the quadrature path the Newton iteration never forms the
-            (nd, nd) element matrices: the Krylov operator is the matfree
-            Jacobian apply and the preconditioner needs only the diagonal
-            (assembly.newton_rhs_diag) — the dominant per-iteration assembly
-            cost in the matrix path.
-            """
-            u, p = fe.split(x)
-            if quad:
-                diag_e, b_e = assembly.newton_rhs_diag(
-                    fe, params, u, p, u_old, f_new, f_old
-                )
-                Ad = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
-                Ad = jnp.where(jnp.abs(Ad) > 1e-30, Ad, 1.0)
-            else:
-                Ad, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
-            b = operators.scatter_add(fe, b_e)
-            # Homogeneous constraints on the update (g = 0): rhs rows zeroed.
-            b_hat = jnp.where(mask, 0.0, b)
-            return Ad, b_hat
+            return self._newton_residual_system(fe, params, x, u_old, f_new, f_old)
 
         # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
         x0 = jnp.where(mask, g, state.x_old)
@@ -390,48 +550,9 @@ class NavierStokesSolver:
                     jnp.minimum(1.0, d1 * 1.5),
                     d1,
                 )
-                op = None
-                nodeblock_inv = None
-                u_x, _ = fe.split(x)
-                if quad:
-                    op = matfree.make_system_operator(
-                        fe, params, u_x, newton_reaction=True
-                    )
-                if cfg.precond_vel_method == "nodeblock":
-                    # Same dim x dim node blocks as the linearized path,
-                    # linearized about the current Newton iterate.
-                    Bn = assembly.oseen_nodeblock_diag(fe, params, u_x)
-                    Bacc = fe.accumulate_nodes(
-                        Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
-                    ).reshape(fe.n_vnodes, fe.dim, fe.dim)
-                    mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
-                    either = mu[:, :, None] | mu[:, None, :]
-                    eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
-                    nodeblock_inv = assembly.invert_spd_blocks(
-                        jnp.where(either, eye, Bacc)
-                    )
-                sol = self._solve_linear(
-                    fe, pops, None if quad else Ad, b_hat, g * 0.0, dt0,
-                    theta_eff, jnp.zeros_like(x), cfg.gmres_maxiter_newton,
-                    rtol=cfg.gmres_rtol_newton, op=op,
-                    diag=Ad if quad else None, u_adv=u_x,
-                    nodeblock_inv=nodeblock_inv,
+                return self._newton_linear_solve(
+                    fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old)
                 )
-                lin_ok = sol.converged
-                d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
-                x_new = x + d2 * sol.x
-
-                # Backtracking on linear failure (cpp:1188-1198).
-                def backtrack(_):
-                    _, b2 = residual_system(x_new)
-                    new_res = jnp.linalg.norm(b2)
-                    bad = new_res > 2.0 * res
-                    d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
-                    x_bt = jnp.where(bad, x + d3 * sol.x, x_new)
-                    return x_bt, d3
-
-                x_new, d_out = jax.lax.cond(~lin_ok, backtrack, lambda _: (x_new, d2), None)
-                return x_new, d_out, sol.iterations
 
             def no_update(_):
                 return x, damping, jnp.asarray(0, jnp.int32)
@@ -536,6 +657,8 @@ class NavierStokesSolver:
         fully jitted.
         """
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            if self._newton_host:
+                return self._newton_host_step(state)
             new_state, m = self._step_jit(state, self.fe, self.pressure_ops)
             return new_state, self._pull_metrics(m)
         its_prev = 0
@@ -625,6 +748,11 @@ class NavierStokesSolver:
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            if self._newton_host:
+                m = None
+                for _ in range(n_steps):
+                    state, m = self.step(state)
+                return state, m
             # Fully jitted step: dispatch all n steps with ZERO per-step
             # pulls (the in-graph damping loop needs no host decisions),
             # then pull the last step's metrics once.

@@ -117,3 +117,25 @@ def test_2d3_time_varying_inlet(mesh2d_path):
 
     want = (2.0 / 3.0) * 1.5 * math.sin(math.pi * t[-1] / 8.0) * 0.1 / s.nu
     assert hist[-1]["re_instant"] == pytest.approx(want, rel=1e-9)
+
+
+def test_newton_host_driver_matches_graph(mesh2d_path):
+    """Host-driven Newton loop == fully-jitted while_loop, bit-exact."""
+    import dataclasses
+
+    import numpy as np
+
+    from navier_stokes_equations_tpu.models import solver, test_cases
+
+    res = {}
+    for drv in ("graph", "host"):
+        cfg = dataclasses.replace(
+            test_cases.make("2D-1", deltat=0.1), dtype="float64", newton_driver=drv
+        )
+        s = solver.NavierStokesSolver(cfg, mesh2d_path)
+        st = s.initial_state()
+        for _ in range(2):
+            st, m = s.step(st)
+        res[drv] = (np.asarray(st.x_old), m.newton_iters, m.gmres_iters, m.converged)
+    np.testing.assert_array_equal(res["graph"][0], res["host"][0])
+    assert res["graph"][1:] == res["host"][1:]
