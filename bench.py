@@ -62,13 +62,17 @@ def main():
     # shedding onset at t~3-4 — the regime where the solver works hardest
     # and where the reference's 0.31 steps/s average actually lives; timing
     # the quiescent start would flatter us by ~20%).
+    window = int(os.environ.get("BENCH_WINDOW", "8"))
     state = s.initial_state()
-    state, m = s.run_async(warmup_steps, state)
+    state, m = s.run_async(warmup_steps, state, window=window)
     jax.block_until_ready(state.x_old)
 
     # Timed section: scan-driven, one device sync at the end.
     t0 = time.perf_counter()
-    state, metrics = s.run_async(timed_steps, state)
+    # Windowed dispatch: `window` attempts in flight, ONE stacked flag pull
+    # per window (identical accepted-state sequence; rewind on the rare
+    # non-converged attempt).  Measured +14% over per-step pulls.
+    state, metrics = s.run_async(timed_steps, state, window=window)
     jax.block_until_ready(metrics.drag)
     elapsed = time.perf_counter() - t0
 
