@@ -50,6 +50,7 @@ def main():
     # 3D ladder (analog of mesh-3D-5 / -10).
     write("mesh-3D-coarse.msh", generators.channel_cylinder_3d(h_far=0.1, h_cyl=0.03, n_layers=5))
     write("mesh-3D-medium.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=8))
+    write("mesh-3D-fine.msh", generators.channel_cylinder_3d(h_far=0.045, h_cyl=0.012, n_layers=11))
 
 
 if __name__ == "__main__":
