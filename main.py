@@ -148,16 +148,24 @@ def main(argv=None):
 
     pvd_entries = []
 
+    def write_vtu_state(st, step, t):
+        import numpy as np
+
+        u, p = s.fe.split(s.global_solution(st) if halo else st.x_old)
+        name = f"solution_{step:06d}.vtu"
+        vtu.write_vtu(os.path.join(args.output_dir, name), s.mesh, np.asarray(u), np.asarray(p))
+        pvd_entries.append((t, name))
+        vtu.write_pvd(os.path.join(args.output_dir, "solution.pvd"), pvd_entries)
+
+    if args.vtu_every and not args.resume:
+        # Initial-state output before the time loop (reference writes
+        # output(0), NavierStokes.cpp:1071).
+        write_vtu_state(state, int(state.step), float(state.time))
+
     def on_step(st, rec):
         step = rec["step"]
         if args.vtu_every and step % args.vtu_every == 0:
-            import numpy as np
-
-            u, p = s.fe.split(s.global_solution(st) if halo else st.x_old)
-            name = f"solution_{step:06d}.vtu"
-            vtu.write_vtu(os.path.join(args.output_dir, name), s.mesh, np.asarray(u), np.asarray(p))
-            pvd_entries.append((rec["time"], name))
-            vtu.write_pvd(os.path.join(args.output_dir, "solution.pvd"), pvd_entries)
+            write_vtu_state(st, step, rec["time"])
         if args.checkpoint_every and step % args.checkpoint_every == 0:
             ckpt.save(
                 os.path.join(args.output_dir, "checkpoint.npz"),

@@ -73,6 +73,9 @@ class SolverConfig:
     grad_div_gamma: float = 0.1  # reference: NavierStokes.cpp:463,793
 
     inlet_profile: Optional[Callable] = None
+    # True when the inlet carries the sin(pi t/8) modulation — drives the
+    # instantaneous-Re console line (reference: NavierStokes.cpp:1089-1111).
+    inlet_time_modulated: bool = False
     forcing: Optional[Callable] = None
     initial_condition: Optional[Callable] = None  # coords -> (n, dim+1) or None
 
@@ -96,6 +99,13 @@ class SolverConfig:
     gmres_rtol_newton: float = 1e-2
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
+    # A 3-iteration residual stall exits the Newton loop (the damping ladder
+    # is cycling, cpp:1163-1169) but only reports converged=True when the
+    # residual sits within this factor of the estimated assembly roundoff
+    # floor eps * || sum_e |b_e| || (see solver._newton_residual_system);
+    # a genuinely diverging Newton (bad preconditioner, bad config) reports
+    # honest non-convergence like the reference (cpp:1155-1169).
+    newton_stall_floor_factor: float = 64.0
     # Relative fallback ||R|| <= newton_rtol * ||R_first||: the reference's
     # absolute 1e-8 (NavierStokes.hpp:514-515) presumes f64 residuals; in
     # f32 at ~1e5 dofs the attainable floor is ~1e-6 relative, and without

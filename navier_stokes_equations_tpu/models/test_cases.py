@@ -110,6 +110,7 @@ def make_2d_3(ts=TimeScheme.CRANK_NICOLSON, nm=NonlinearMethod.LINEARIZED, delta
         time_scheme=ts, nonlinear_method=nm,
         precond_vel_method="p1coarse_mult", precond_p1_iters=2,
         inlet_profile=benchmark_inlet(2, 1.5, time_dependent=True),
+        inlet_time_modulated=True,
     )
 
 
@@ -150,6 +151,7 @@ def make_3d_3z(ts=TimeScheme.CRANK_NICOLSON, nm=NonlinearMethod.LINEARIZED, delt
         time_scheme=ts, nonlinear_method=nm, use_supg=True,
         precond_vel_method="p1coarse_mult", precond_p1_iters=4,
         inlet_profile=benchmark_inlet(3, 2.25, time_dependent=True),
+        inlet_time_modulated=True,
     )
 
 

@@ -72,6 +72,10 @@ class HaloStatics:
     mask: Any  # (P, n_ld) bool — Dirichlet rows
     pin_p: Any  # (P, n_lp) bool — outlet-pinned pressure dofs
     mp_p: Any  # (P, n_lp) lumped pressure mass (1 at pads/pins)
+    # Global fine-velocity Dirichlet mask (n_vnodes, dim) for the replicated
+    # P1-coarse velocity correction — a jit ARGUMENT leaf like everything
+    # else here (closure constants are lowered host-side; repo rule).
+    vel_mask_glob: Any
     # Per-strip benchmark-functional tables (stacked ForceTables leaves with
     # LOCAL element ids; padded faces carry jxw=0).  The functionals then run
     # inside shard_map on owned+halo fields with one psum — no global gather
@@ -114,6 +118,20 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 f" (precond_schur='cc'), not {cfg.precond_schur!r}"
             )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
+        if cfg.nonlinear_method == NonlinearMethod.NEWTON and self._newton_host:
+            # The resolved driver is "host" (explicit, or auto at >200k dofs):
+            # the halo layout only has the fully-jitted while_loop Newton,
+            # whose single device program runs for minutes on large meshes
+            # and gets killed by the TPU worker — fail loudly up front
+            # instead of mid-run (same convention as the precond rejections
+            # above).
+            raise NotImplementedError(
+                "halo layout has no host-driven Newton loop; the resolved "
+                f"newton_driver is 'host' (newton_driver={cfg.newton_driver!r}"
+                f", n_dofs={self.fe.n_dofs}).  Set newton_driver='graph' to "
+                "accept the single-program risk, or use the single-chip "
+                "solver."
+            )
         if n_shards is None:
             n_shards = len(jax.devices())
         self.device_mesh = (
@@ -161,21 +179,22 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         off = hfe.dim * hfe.n_ln
         put = lambda a: jax.device_put(a, self._spec)
         ft_stack, pel, pbary, pvalid = self._build_halo_functional_tables()
+        vel_mask_glob = (
+            self.dirichlet.mask[: self.fe.n_udofs]
+            .reshape(self.fe.dim, self.fe.n_vnodes)
+            .T
+        )
         self.statics = HaloStatics(
             mask=put(mask_loc),
             pin_p=put(pin_loc[:, off:]),
             mp_p=put(mp_loc[:, off:]),
+            vel_mask_glob=jax.device_put(
+                vel_mask_glob, NamedSharding(self.device_mesh, P())
+            ),
             force=jax.tree.map(put, ft_stack),
             probe_elems=put(pel),
             probe_bary=put(pbary),
             probe_valid=put(pvalid),
-        )
-        # Global fine-velocity Dirichlet mask for the replicated P1-coarse
-        # velocity correction ((n_vnodes, dim) bool — MBs, not GBs).
-        self._vel_mask_glob = (
-            self.dirichlet.mask[: self.fe.n_udofs]
-            .reshape(self.fe.dim, self.fe.n_vnodes)
-            .T
         )
         self._attempt_jit = jax.jit(self._halo_attempt)
         self._newton_jit = jax.jit(self._halo_newton_step)
@@ -383,12 +402,18 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             )
             b = hf.export_halo(hfe, fe_loc.accumulate(b_e), sn, sv)
             diag = hf.export_halo(hfe, fe_loc.accumulate(diag_e), sn, sv)
+            # Roundoff-floor witness: |b_e| accumulated (all-positive sums),
+            # same estimate as the single-chip _newton_residual_system.
+            babs = hf.export_halo(hfe, fe_loc.accumulate(jnp.abs(b_e)), sn, sv)
             tables = _pack(
                 matfree.advection_tables(fe_loc, params, u_cur, newton_reaction=True)
             )
-            return b[None], diag[None], jax.tree.map(lambda a: a[None], tables)
+            return (
+                b[None], diag[None], babs[None],
+                jax.tree.map(lambda a: a[None], tables),
+            )
 
-        mapped = self._shmap(body, n_in=5, n_scalar=2, n_out=3)
+        mapped = self._shmap(body, n_in=5, n_scalar=2, n_out=4)
         return mapped(
             hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x2, x_old2, params, t_new
         )
@@ -455,8 +480,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         return div_apply
 
-    def _make_halo_precond(self, hfe, statics, pops, params, diag2, div_apply,
-                           apply_a=None):
+    def _make_halo_precond(self, hfe, statics, pops, fe, params, diag2,
+                           div_apply, apply_a=None):
         """Cahouet-Chabard on the owned layout.
 
         Velocity step: owned-local Jacobi, plus (``precond_vel_method=
@@ -470,7 +495,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         cfg = self.cfg
         off = hfe.dim * hfe.n_ln
         kp_solve = preconditioners.make_kp_solve(
-            self.fe, pops, kp_iters=cfg.precond_kp_iters,
+            fe, pops, kp_iters=cfg.precond_kp_iters,
             twolevel_cycles=cfg.precond_twolevel_cycles,
         )
         npg = hfe.n_p_glob
@@ -479,10 +504,10 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         mult = cfg.precond_vel_method == "p1coarse_mult" and apply_a is not None
         if p1c:
             coarse_solve = preconditioners.make_p1_coarse_solve(
-                self.fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters,
+                fe, pops, rho / dt, theta * nu, iters=cfg.precond_p1_iters,
                 gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             )
-            vmask_glob = self._vel_mask_glob
+            vmask_glob = statics.vel_mask_glob
 
         def precond(r_flat):
             r = r_flat.reshape(hfe.n_shards, hfe.n_ld)
@@ -532,10 +557,12 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return precond
 
     # --- one ladder trial on the halo layout ----------------------------
-    def _halo_attempt(self, state: State, k, hfe, pops, statics):
-        """Jitted attempt (k traced).  ``hfe``/``pops``/``statics`` are jit
-        ARGUMENTS so their (potentially GB-scale) leaves stay device-resident
-        buffers instead of being lowered as program constants."""
+    def _halo_attempt(self, state: State, k, hfe, pops, statics, fe):
+        """Jitted attempt (k traced).  ``hfe``/``pops``/``statics``/``fe``
+        are jit ARGUMENTS so their (potentially GB-scale) leaves stay
+        device-resident buffers instead of being lowered as program
+        constants (``fe`` is the GLOBAL element arrays consumed by the
+        replicated coarse solves in the preconditioner)."""
         cfg = self.cfg
         t_new = state.time + jnp.asarray(self.dt0, self.dtype)
         theta0 = jnp.asarray(cfg.theta, self.dtype)
@@ -571,7 +598,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         apply_a = self._make_matvec(hfe, statics, params, tables)
         div_apply = self._make_div_apply(hfe, params)
         precond = self._make_halo_precond(
-            hfe, statics, pops, params, diag2, div_apply, apply_a=apply_a
+            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a
         )
         res = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond, x0=x0.reshape(-1),
@@ -612,7 +639,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return new_state, metrics
 
     # --- Newton path on the halo layout ---------------------------------
-    def _halo_newton_step(self, state: State, hfe, pops, statics):
+    def _halo_newton_step(self, state: State, hfe, pops, statics, fe):
         """Jitted Newton time step on the distributed owned-node layout.
 
         Mirrors ``NavierStokesSolver._newton_advance`` (reference:
@@ -642,13 +669,15 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         x_old2 = state.x_old.reshape(Pn, hfe.n_ld)
 
         def residual_system(x2):
-            b2, diag2, tables = self._assemble_newton_halo(
+            b2, diag2, babs2, tables = self._assemble_newton_halo(
                 hfe, params, x2, x_old2, t_new
             )
             b_hat = jnp.where(mask2, 0.0, b2)
             diag2 = jnp.where(mask2, 1.0, diag2)
             diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
-            return b_hat, diag2, tables
+            eps = jnp.finfo(b2.dtype).eps
+            floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
+            return b_hat, diag2, floor, tables
 
         # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
         x0 = jnp.where(mask2, g2, x_old2)
@@ -657,17 +686,23 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         tol = cfg.newton_tolerance
 
         def cond(c):
-            x, res, prev, res0, stall, damping, it, tg, done = c
+            x, res, prev, res0, stall, damping, it, tg, done, ok = c
             return (~done) & (it < cfg.newton_max_iterations)
 
         def body(c):
-            x, res_in, prev, res0, stall, damping, it, tg, _ = c
-            b_hat, diag2, tables = residual_system(x)
+            x, res_in, prev, res0, stall, damping, it, tg, _, _ = c
+            b_hat, diag2, floor, tables = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
-            # Same f32-floor stall exit as the single-chip Newton loop.
+            # Same honest stall exit as the single-chip Newton loop: a
+            # 3-iteration stall stops the iteration but only reports
+            # converged when the residual sits at the roundoff floor.
             stall = jnp.where(res > 0.9 * prev, stall + 1, 0)
-            done = (res < tol) | (res < cfg.newton_rtol * res0) | (stall >= 3)
+            tol_hit = (res < tol) | (res < cfg.newton_rtol * res0)
+            done = tol_hit | (stall >= 3)
+            ok = tol_hit | (
+                (stall >= 3) & (res <= cfg.newton_stall_floor_factor * floor)
+            )
 
             def do_update(_):
                 d1 = jnp.where(
@@ -683,7 +718,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
                 div_apply = self._make_div_apply(hfe, params)
                 precond = self._make_halo_precond(
-                    hfe, statics, pops, params, diag2, div_apply, apply_a=apply_a
+                    hfe, statics, pops, fe, params, diag2, div_apply,
+                    apply_a=apply_a,
                 )
                 sol = gmres.fgmres(
                     apply_a, b_hat.reshape(-1), precond=precond,
@@ -697,7 +733,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 x_new = x + d2 * upd
 
                 def backtrack(_):
-                    b2, _, _ = residual_system(x_new)
+                    b2, _, _, _ = residual_system(x_new)
                     new_res = jnp.linalg.norm(b2)
                     bad = new_res > 2.0 * res
                     d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
@@ -715,19 +751,19 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
             return (
                 x_out, res, res, res0, stall, d_out,
-                it + jnp.where(done, 0, 1), tg + g_its, done,
+                it + jnp.where(done, 0, 1), tg + g_its, done, ok,
             )
 
         init = (
             x0, big, big, big, jnp.asarray(0, jnp.int32),
             jnp.asarray(1.0, self.dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
         )
-        x, res, _, _, _, _, iters, total_gmres, done = jax.lax.while_loop(
+        x, res, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
             cond, body, init
         )
         return self._halo_finalize(
-            state, t_new, hfe, statics, x.reshape(-1), done, total_gmres, dt0,
+            state, t_new, hfe, statics, x.reshape(-1), ok, total_gmres, dt0,
             iters, res,
         )
 
@@ -736,13 +772,14 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         """Host-side retry ladder (one compiled attempt program, k traced)."""
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
             new_state, m = self._newton_jit(
-                state, self.hfe, self.pressure_ops, self.statics
+                state, self.hfe, self.pressure_ops, self.statics, self.fe
             )
             return new_state, self._pull_metrics(m)
         its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(
-                state, self._k_consts[k], self.hfe, self.pressure_ops, self.statics
+                state, self._k_consts[k], self.hfe, self.pressure_ops,
+                self.statics, self.fe,
             )
             m = self._pull_metrics(m)
             if m.converged or k == self._n_trials - 1:

@@ -530,8 +530,13 @@ def make_cahouet_chabard(
             # Pressure convection-diffusion (Elman-Silvester-Wathen):
             #   S^{-1} ~ -M_p^{-1} F_p K_p^{-1},
             #   F_p = (rho/dt) M_p + theta (nu K_p + N_p(u*)).
-            # With N_p dropped this reduces EXACTLY to Cahouet-Chabard
-            # ((rho/dt) K_p^{-1} + theta nu M_p^{-1}); the convection term
+            # With N_p dropped this reduces to Cahouet-Chabard
+            # ((rho/dt) K_p^{-1} + theta nu M_p^{-1}) only up to the
+            # lumped-mass commutation (M_lump^{-1} M_p K_p^{-1} vs K_p^{-1};
+            # exact in the consistent-mass limit) and the regularized-vs-raw
+            # K_p pairing — do NOT rely on exact equivalence when validating
+            # solver changes (tests assert ~0.35 relative agreement on the
+            # pressure rows).  The convection term
             # N_p y = int psi (u* . grad y) adds the reaction the reference's
             # CC preconditioner ignores — config-gated, default "cc".
             y = jnp.where(pops.pin_mask, 0.0, kp_inv_t)

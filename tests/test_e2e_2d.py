@@ -139,3 +139,42 @@ def test_newton_host_driver_matches_graph(mesh2d_path):
         res[drv] = (np.asarray(st.x_old), m.newton_iters, m.gmres_iters, m.converged)
     np.testing.assert_array_equal(res["graph"][0], res["host"][0])
     assert res["graph"][1:] == res["host"][1:]
+
+
+@pytest.mark.parametrize("drv", ["graph", "host"])
+def test_newton_reports_nonconvergence_when_crippled(mesh2d_path, drv):
+    """A Newton iteration that cannot make progress must NOT claim
+    convergence (reference prints every residual and never fakes it,
+    NavierStokes.cpp:1155-1169).  Crippling the inner solver (1 Krylov
+    iteration at an unreachable tolerance) stalls the damping ladder far
+    above the roundoff floor -> converged=False."""
+    cfg = dataclasses.replace(
+        test_cases.make("2D-1", deltat=0.1),
+        dtype="float64",
+        newton_driver=drv,
+        gmres_maxiter_newton=1,
+        gmres_alloc=2,
+        gmres_rtol_newton=1e-14,
+        newton_max_iterations=6,
+    )
+    s = solver.NavierStokesSolver(cfg, mesh2d_path)
+    st, m = s.step(s.initial_state())
+    assert not m.converged
+    assert m.residual > 1e-6  # genuinely far from converged
+
+
+def test_newton_stall_at_floor_still_converges(mesh2d_path):
+    """The f32 path legitimately stalls AT the assembly roundoff floor;
+    the honest stall exit must still report converged there (otherwise
+    every f32 steady run would be flagged)."""
+    cfg = dataclasses.replace(
+        test_cases.make("2D-1", deltat=0.1),
+        dtype="float32",
+        newton_tolerance=1e-30,  # unreachable: force the stall exit
+        newton_rtol=1e-30,
+    )
+    s = solver.NavierStokesSolver(cfg, mesh2d_path)
+    st = s.initial_state()
+    for _ in range(3):
+        st, m = s.step(st)
+    assert m.converged
