@@ -13,20 +13,25 @@ Ownership is at the NODE level (all velocity components and the collocated
 pressure dof of a node share one owner), mirroring deal.II's
 locally_owned_dofs partition (reference: NavierStokes.cpp:103-104, 197-220):
 
-  * a node is owned by the first strip whose elements touch it, so a
-    strip's halo nodes all belong to its LEFT neighbor (validated);
-  * the local field layout per strip is
+  * a node is owned by the first shard whose elements touch it; a shard's
+    halo nodes may belong to ANY set of neighbor shards (general
+    partitions — RCB, strips, anything `GridTools::partition_triangulation`
+    could produce, NavierStokes.cpp:56-61);
+  * the local field layout per shard is
 
         x_loc = [ u_x (n_ln) | u_y (n_ln) | (u_z) | p (n_lp) ]
 
     with n_ln = n_own_nodes_max + n_halo_nodes_max: owned nodes first
     (ascending global id — the global numbering is valence-clustered, so
     local vertices precede local edge midpoints), halo nodes after, each
-    region padded with inert slots so shapes match across strips;
-  * one operator application moves TWO halo-sized ppermute messages —
-    ghost import of trial values (right) and ghost export of accumulated
-    partials (left), the analog of Trilinos compress(add)
-    (reference: NavierStokes.cpp:527-528, 1053-1056).
+    region padded with inert slots so shapes match across shards;
+  * the neighbor communication graph is edge-colored host-side into R
+    permutation ROUNDS (each shard at most one send and one receive per
+    round); one ghost import / export runs R ``jax.lax.ppermute`` steps
+    with static per-round send/recv index tables.  Strip partitions color
+    to R = 1, reproducing the original one-hop schedule; RCB grids get
+    R ~ neighbor degree.  The export is the analog of Trilinos
+    compress(add) (reference: NavierStokes.cpp:527-528, 1053-1056).
 """
 
 from __future__ import annotations
@@ -53,8 +58,13 @@ class HaloFE:
     fe_stack: FEArrays
     owned_nodes: Any  # (P, n_on_max) global node ids, sentinel n_vnodes_glob
     owned_verts: Any  # (P, n_op_max) global vertex ids, sentinel n_p_glob
-    send_nodes: Any  # (P, n_hn_max) local owned positions read by the right neighbor
-    send_verts: Any  # (P, n_hp_max)
+    # Per-ROUND exchange tables.  send_nodes[p, r, 0] = local OWNED node
+    # positions this shard sends in round r (sentinel n_ln -> zero pad);
+    # send_nodes[p, r, 1] = local HALO node positions where round r's
+    # received values land (sentinel n_ln -> trash slot).  The same table
+    # drives the export in reverse (gather at [r,1], add at [r,0]).
+    send_nodes: Any  # (P, R, 2, msg_n)
+    send_verts: Any  # (P, R, 2, msg_p)
     elem_gids: Any  # (P, n_el_loc) global element id of each local slot (-1 pad)
 
     n_shards: int = dataclasses.field(metadata=dict(static=True))
@@ -65,6 +75,9 @@ class HaloFE:
     dim: int = dataclasses.field(metadata=dict(static=True))
     n_vnodes_glob: int = dataclasses.field(metadata=dict(static=True))
     n_p_glob: int = dataclasses.field(metadata=dict(static=True))
+    # Edge-colored communication schedule: comm_pairs[r] is the (src, dst)
+    # permutation of ppermute round r (strips: one round of (i, i+1) pairs).
+    comm_pairs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     axis: str = dataclasses.field(default="shard", metadata=dict(static=True))
 
     @property
@@ -79,11 +92,37 @@ class HaloFE:
     def n_ld(self) -> int:  # local dof space
         return self.dim * self.n_ln + self.n_lp
 
-    def right_pairs(self):
-        return [(i, i + 1) for i in range(self.n_shards - 1)]
+    @property
+    def n_rounds(self) -> int:
+        return len(self.comm_pairs)
 
-    def left_pairs(self):
-        return [(i + 1, i) for i in range(self.n_shards - 1)]
+    def pairs(self, r):
+        """Round-r import permutation (owner -> halo reader)."""
+        return list(self.comm_pairs[r])
+
+    def rev_pairs(self, r):
+        """Round-r export permutation (halo partials back to the owner)."""
+        return [(d, s) for (s, d) in self.comm_pairs[r]]
+
+
+def _color_rounds(edges):
+    """Greedy edge coloring of the directed communication graph.
+
+    Each round is a partial permutation: every shard appears at most once
+    as src and at most once as dst (the ppermute contract).  Strip graphs
+    ((s-1) -> s for all s) color to exactly one round.
+    """
+    rounds = []  # list of (pairs, srcs_used, dsts_used)
+    for (src, dst) in sorted(edges):
+        for pairs, srcs, dsts in rounds:
+            if src not in srcs and dst not in dsts:
+                pairs.append((src, dst))
+                srcs.add(src)
+                dsts.add(dst)
+                break
+        else:
+            rounds.append(([(src, dst)], {src}, {dst}))
+    return [tuple(pairs) for pairs, _, _ in rounds]
 
 
 def _stacked_bucketed_maps(per_strip_entries, n_targets, bounds):
@@ -120,10 +159,11 @@ def _stacked_bucketed_maps(per_strip_entries, n_targets, bounds):
 def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard") -> HaloFE:
     """Host-side construction from a GLOBAL (unsharded) FEArrays.
 
-    ``strips``: optional per-shard element-id lists (e.g.
-    ``halo.geometric_strips`` for graded meshes); defaults to contiguous
-    equal-count slices of the (spatially ordered) element array.  Raises if
-    any strip needs halo from a non-left neighbor.
+    ``strips``: optional per-shard element-id lists — any partition works
+    (``sharding.rcb_partition``, ``halo.geometric_strips``, hand-rolled);
+    defaults to contiguous equal-count slices of the (spatially ordered)
+    element array.  The neighbor graph is arbitrary; the exchange schedule
+    is edge-colored into ppermute rounds.
     """
     elems_p2 = np.asarray(fe.elems_p2)
     elems_p1 = np.asarray(fe.elems_p1)
@@ -154,15 +194,14 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
     owner[owner < 0] = 0  # untouched (possible only on all-pad meshes)
 
     owned = [np.where(owner == s)[0] for s in range(n_shards)]
-    halos = []
-    for s in range(n_shards):
-        h = touched[s][owner[touched[s]] != s]
-        if len(h) and not (owner[h] == s - 1).all():
-            raise ValueError(
-                "halo crosses more than one strip boundary — element order "
-                "is not a contiguous strip partition (try geometric_strips)"
-            )
-        halos.append(h)
+    # Halo nodes grouped by OWNER shard (ascending global id within each
+    # group — both endpoints of an edge agree on the message order).
+    halos = [touched[s][owner[touched[s]] != s] for s in range(n_shards)]
+    halo_by_owner = [
+        {int(t): h[owner[h] == t] for t in np.unique(owner[h])} for h in halos
+    ]
+    edges = [(t, s) for s in range(n_shards) for t in halo_by_owner[s]]
+    rounds = _color_rounds(edges)
 
     n_on_max = max(len(o) for o in owned)
     n_hn_max = max((len(h) for h in halos), default=1) or 1
@@ -174,10 +213,20 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
     n_lp = n_op_max + n_hp_max
     n_ld = dim * n_ln + n_lp
 
+    # Per-round message widths: the largest single edge message (nodes /
+    # pressure verts), shared by all rounds for static shapes.
+    msg_n = max((len(h) for hb in halo_by_owner for h in hb.values()), default=1) or 1
+    msg_p = max(
+        (int((h < npg).sum()) for hb in halo_by_owner for h in hb.values()), default=1
+    ) or 1
+    n_rounds = max(len(rounds), 1)
+
     owned_nodes = np.full((n_shards, n_on_max), nvg, np.int32)
     owned_verts = np.full((n_shards, n_op_max), npg, np.int32)
-    send_nodes = np.full((n_shards, n_hn_max), n_on_max, np.int32)
-    send_verts = np.full((n_shards, n_hp_max), n_op_max, np.int32)
+    # Sentinels: n_ln / n_lp point one past the local region — the exchange
+    # primitives extend the vector by a trash slot.
+    send_nodes = np.full((n_shards, n_rounds, 2, msg_n), n_ln, np.int32)
+    send_verts = np.full((n_shards, n_rounds, 2, msg_p), n_lp, np.int32)
 
     elems_p2_loc = np.zeros((n_shards, n_el_loc, n2), np.int32)
     elems_p1_loc = np.zeros((n_shards, n_el_loc, n1), np.int32)
@@ -193,6 +242,7 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
     src = {k: np.asarray(getattr(fe, k)) for k in geo}
 
     loc_node_maps = []
+    loc_vert_maps = []
     for s in range(n_shards):
         owned_nodes[s, : len(owned[s])] = owned[s]
         owned_verts[s, : len(owned_v[s])] = owned_v[s]
@@ -203,6 +253,7 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
         locp[owned_v[s]] = np.arange(len(owned_v[s]))
         locp[halo_v[s]] = n_op_max + np.arange(len(halo_v[s]))
         loc_node_maps.append(loc)
+        loc_vert_maps.append(locp)
 
         ids = strips[s]
         e2 = elems_p2[ids].copy()
@@ -218,11 +269,18 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
         for k in geo:
             geo[k][s, : len(ids)] = src[k][ids]
 
-        if s + 1 < n_shards:
-            if len(halos[s + 1]):
-                send_nodes[s, : len(halos[s + 1])] = loc_node_maps[s][halos[s + 1]]
-            if len(halo_v[s + 1]):
-                send_verts[s, : len(halo_v[s + 1])] = locp[halo_v[s + 1]]
+    # Exchange tables: for edge (t -> s) in round r, sender t reads its
+    # OWNED positions ([r, 0]), receiver s writes its HALO positions
+    # ([r, 1]); both sides list the same global ids in the same (ascending)
+    # order, so the message needs no header.
+    for r, pairs in enumerate(rounds):
+        for (t, s) in pairs:
+            h = halo_by_owner[s][t]
+            hv = h[h < npg]
+            send_nodes[t, r, 0, : len(h)] = loc_node_maps[t][h]
+            send_nodes[s, r, 1, : len(h)] = loc_node_maps[s][h]
+            send_verts[t, r, 0, : len(hv)] = loc_vert_maps[t][hv]
+            send_verts[s, r, 1, : len(hv)] = loc_vert_maps[s][hv]
 
     # --- local component-major elem_dofs + stacked transpose maps -------
     vel_dofs = np.concatenate(
@@ -283,6 +341,9 @@ def build_halo_fe(fe: FEArrays, n_shards: int, strips=None, axis: str = "shard")
         dim=dim,
         n_vnodes_glob=nvg,
         n_p_glob=npg,
+        comm_pairs=tuple(
+            tuple((int(t), int(s)) for (t, s) in pairs) for pairs in rounds
+        ),
         axis=axis,
     )
 
@@ -353,42 +414,72 @@ def gather_local(hfe: HaloFE, x_loc):
 # ---------------------------------------------------------------------------
 
 def import_halo(hfe: HaloFE, x, send_nodes, send_verts):
-    """Fill the halo slots of a local flat vector from the left neighbor.
+    """Fill the halo slots of a local flat vector from their owners.
 
-    One right-moving ppermute of (dim*n_hn_max + n_hp_max,) values — the
-    ghost import of deal.II's ghosted-vector assignment (cpp:1053-1056).
+    R ppermute rounds of (dim*msg_n + msg_p,) values — the ghost import of
+    deal.II's ghosted-vector assignment (cpp:1053-1056).  Strip partitions
+    have R = 1.  ``send_nodes``/``send_verts``: this shard's (R, 2, msg)
+    tables (send positions at [:, 0], recv positions at [:, 1]; sentinel
+    one past the local region lands in a trash slot).
     """
-    dim, n_ln = hfe.dim, hfe.n_ln
+    dim, n_ln, n_lp = hfe.dim, hfe.n_ln, hfe.n_lp
+    msg_n = send_nodes.shape[-1]
     u = x[: dim * n_ln].reshape(dim, n_ln)
     p = x[dim * n_ln :]
-    msg = jnp.concatenate([u[:, send_nodes].reshape(-1), p[send_verts]])
-    recv = jax.lax.ppermute(msg, hfe.axis, hfe.right_pairs())
-    ru = recv[: dim * hfe.n_hn_max].reshape(dim, hfe.n_hn_max)
-    rp = recv[dim * hfe.n_hn_max :]
-    u = u.at[:, hfe.n_on_max :].set(ru)
-    p = p.at[hfe.n_op_max :].set(rp)
-    return jnp.concatenate([u.reshape(-1), p])
+    # Trash slot at index n_ln / n_lp absorbs sentinel reads and writes.
+    u = jnp.concatenate([u, jnp.zeros((dim, 1), u.dtype)], axis=1)
+    p = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+    for r in range(hfe.n_rounds):
+        msg = jnp.concatenate(
+            [u[:, send_nodes[r, 0]].reshape(-1), p[send_verts[r, 0]]]
+        )
+        recv = jax.lax.ppermute(msg, hfe.axis, hfe.pairs(r))
+        ru = recv[: dim * msg_n].reshape(dim, msg_n)
+        rp = recv[dim * msg_n :]
+        u = u.at[:, send_nodes[r, 1]].set(ru)
+        p = p.at[send_verts[r, 1]].set(rp)
+    return jnp.concatenate([u[:, :n_ln].reshape(-1), p[:n_lp]])
 
 
 def export_halo(hfe: HaloFE, y, send_nodes, send_verts):
-    """Add this shard's halo partials into the left owner; zero the halo.
+    """Add this shard's halo partials into their owners; zero the halo.
 
-    One left-moving ppermute — the compress(add) of the reference
-    (cpp:527-528).  Pad entries of the send lists point at the first halo
-    slot, which is zeroed on return, so they are inert.
+    R ppermute rounds on the reversed schedule — the compress(add) of the
+    reference (cpp:527-528).  Partials are gathered at the recv positions
+    ([r, 1]) and accumulated at the owner's owned positions ([r, 0]);
+    sentinel entries ride the trash slot.
     """
-    dim, n_ln = hfe.dim, hfe.n_ln
+    dim, n_ln, n_lp = hfe.dim, hfe.n_ln, hfe.n_lp
+    msg_n = send_nodes.shape[-1]
     u = y[: dim * n_ln].reshape(dim, n_ln)
     p = y[dim * n_ln :]
-    msg = jnp.concatenate([u[:, hfe.n_on_max :].reshape(-1), p[hfe.n_op_max :]])
-    recv = jax.lax.ppermute(msg, hfe.axis, hfe.left_pairs())
-    ru = recv[: dim * hfe.n_hn_max].reshape(dim, hfe.n_hn_max)
-    rp = recv[dim * hfe.n_hn_max :]
-    u = u.at[:, send_nodes].add(ru)
-    p = p.at[send_verts].add(rp)
-    u = u.at[:, hfe.n_on_max :].set(0.0)
-    p = p.at[hfe.n_op_max :].set(0.0)
+    u = jnp.concatenate([u, jnp.zeros((dim, 1), u.dtype)], axis=1)
+    p = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+    for r in range(hfe.n_rounds):
+        msg = jnp.concatenate(
+            [u[:, send_nodes[r, 1]].reshape(-1), p[send_verts[r, 1]]]
+        )
+        recv = jax.lax.ppermute(msg, hfe.axis, hfe.rev_pairs(r))
+        ru = recv[: dim * msg_n].reshape(dim, msg_n)
+        rp = recv[dim * msg_n :]
+        u = u.at[:, send_nodes[r, 0]].add(ru)
+        p = p.at[send_verts[r, 0]].add(rp)
+    u = u[:, :n_ln].at[:, hfe.n_on_max :].set(0.0)
+    p = p[:n_lp].at[hfe.n_op_max :].set(0.0)
     return jnp.concatenate([u.reshape(-1), p])
+
+
+def export_halo_p(hfe: HaloFE, yp, send_verts):
+    """Pressure-only compress(add): halo vertex partials to their owners.
+
+    Used by the divergence-only preconditioner step (a dim-times-smaller
+    message than the full export).
+    """
+    p = jnp.concatenate([yp, jnp.zeros((1,), yp.dtype)])
+    for r in range(hfe.n_rounds):
+        recv = jax.lax.ppermute(p[send_verts[r, 1]], hfe.axis, hfe.rev_pairs(r))
+        p = p.at[send_verts[r, 0]].add(recv)
+    return p[: hfe.n_lp].at[hfe.n_op_max :].set(0.0)
 
 
 def local_fields(hfe: HaloFE, x):

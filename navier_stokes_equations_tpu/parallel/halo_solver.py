@@ -140,24 +140,24 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             else sharding.make_device_mesh(n_shards, axis="shard")
         )
         if strips is None:
-            try:
-                # Equal-count contiguous slices are valid strips on
-                # quasi-uniform spatially-ordered meshes (best balance).
-                self.hfe = hf.build_halo_fe(self.fe, n_shards)
-            except ValueError:
-                # Graded meshes: equal-WIDTH strips keep the one-hop halo
-                # property (see halo.geometric_strips).
-                import numpy as np
+            # RCB parts: balanced, spatially compact, any neighbor graph
+            # (the multi-round exchange handles it); on channel geometries
+            # the recursion reproduces flow-direction strips.  Equivalent
+            # of the reference's partition_triangulation (cpp:56-61).
+            import numpy as np
 
-                from .halo import geometric_strips
-
-                cent = np.asarray(self.mesh.vertices)[
-                    np.asarray(self.mesh.elems_p1)
-                ].mean(axis=1)
-                strips = geometric_strips(cent, n_shards)
-                self.hfe = hf.build_halo_fe(self.fe, n_shards, strips=strips)
-        else:
-            self.hfe = hf.build_halo_fe(self.fe, n_shards, strips=strips)
+            cent = np.asarray(self.mesh.vertices)[
+                np.asarray(self.mesh.elems_p1[: self.mesh.n_el_real])
+            ].mean(axis=1)
+            real_parts = sharding.rcb_partition(cent, n_shards)
+            # Spread globally-padded elements (inert) round-robin to keep
+            # per-shard element counts maximally even.
+            pads = np.arange(self.mesh.n_el_real, self.fe.n_el)
+            strips = [
+                np.concatenate([p, pads[i::n_shards]])
+                for i, p in enumerate(real_parts)
+            ]
+        self.hfe = hf.build_halo_fe(self.fe, n_shards, strips=strips)
         self.hfe = hf.shard_halo_fe(self.hfe, self.device_mesh)
         self._spec = NamedSharding(self.device_mesh, P(self.hfe.axis))
 
@@ -467,10 +467,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             divu = jnp.einsum("eqdd->eq", gu)
             yp_e = -jnp.einsum("eq,eq,qc->ec", fe_loc.jxw, divu, fe_loc.p1_val)
             yp = fe_loc.accumulate_p(yp_e)
-            # Export pressure halo partials to the left owner (compress(add)).
-            recv = jax.lax.ppermute(yp[hfe.n_op_max :], hfe.axis, hfe.left_pairs())
-            yp = yp.at[sv].add(recv).at[hfe.n_op_max :].set(0.0)
-            return yp[None]
+            # Export pressure halo partials to their owners (compress(add)).
+            return hf.export_halo_p(hfe, yp, sv)[None]
 
         mapped = self._shmap(body, n_in=4, n_scalar=1)
 

@@ -71,6 +71,29 @@ def rcb_order(centroids: np.ndarray, n_parts: int) -> np.ndarray:
     return np.concatenate(chunks)
 
 
+def rcb_partition(centroids: np.ndarray, n_parts: int) -> list:
+    """Recursive coordinate bisection PARTITION: per-part element-id lists.
+
+    The general-partition analog of the reference's
+    ``GridTools::partition_triangulation`` (NavierStokes.cpp:56-61) —
+    spatially compact, balanced parts with an arbitrary neighbor graph
+    (the halo layout's multi-round exchange handles any partition)."""
+    n = len(centroids)
+    idx = np.arange(n)
+
+    def rec(ids, parts):
+        if parts == 1 or len(ids) <= 1:
+            return [ids]
+        c = centroids[ids]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = ids[np.argsort(c[:, axis], kind="stable")]
+        left_parts = parts // 2
+        split = int(round(len(ids) * left_parts / parts))
+        return rec(order[:split], left_parts) + rec(order[split:], parts - left_parts)
+
+    return rec(idx, n_parts)
+
+
 def partition_mesh(mesh: THMesh, n_parts: int) -> THMesh:
     """Reorder elements by RCB so contiguous equal chunks are spatial blocks."""
     cent = mesh.vertices[mesh.elems_p1[: mesh.n_el_real]].mean(axis=1)

@@ -107,3 +107,72 @@ def test_newton_steps_match_single_device(mesh2d_path):
         assert abs(float(m_h.drag) - float(m_ref.drag)) < 1e-3
         assert abs(float(m_h.lift) - float(m_ref.lift)) < 1e-3
         assert abs(float(m_h.delta_p) - float(m_ref.delta_p)) < 1e-3
+
+
+def _grid_partition(mesh, nx, ny):
+    """Checkerboard (nx, ny) element partition — guaranteed multi-neighbor
+    (up/down + left/right + corner adjacency), exercising the multi-round
+    ppermute schedule that general partitions need."""
+    cent = np.asarray(mesh.vertices)[np.asarray(mesh.elems_p1[: mesh.n_el_real])].mean(axis=1)
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0) + 1e-12
+    bx = np.minimum(((cent[:, 0] - lo[0]) / (hi[0] - lo[0]) * nx).astype(int), nx - 1)
+    by = np.minimum(((cent[:, 1] - lo[1]) / (hi[1] - lo[1]) * ny).astype(int), ny - 1)
+    bins = bx * ny + by
+    pads = np.arange(mesh.n_el_real, mesh.n_el)
+    return [
+        np.concatenate([np.where(bins == k)[0], pads[k :: nx * ny]])
+        for k in range(nx * ny)
+    ]
+
+
+def test_full_steps_match_on_grid_partition(mesh2d_path):
+    """4x2 checkerboard partition (multi-neighbor halo graph) == single
+    device.  The comm schedule needs >1 ppermute round here."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    cfg = dataclasses.replace(test_cases.make("2D-2", deltat=0.01), dtype="float64")
+    mesh = sharding.partition_mesh(taylor_hood.load(mesh2d_path), N_DEV)
+    strips = _grid_partition(mesh, 4, 2)
+    ref = solver.NavierStokesSolver(cfg, mesh)
+    hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV, strips=strips)
+    assert hs.hfe.n_rounds > 1, "grid partition should need a multi-round schedule"
+    s_ref = ref.initial_state()
+    s_h = hs.initial_state()
+    for i in range(2):
+        s_ref, m_ref = ref.step(s_ref)
+        s_h, m_h = hs.step(s_h)
+        assert abs(int(m_h.gmres_iters) - int(m_ref.gmres_iters)) <= 2
+        assert bool(m_h.converged)
+        x_h = np.asarray(hs.global_solution(s_h))
+        x_r = np.asarray(s_ref.x_old)
+        scale = np.max(np.abs(x_r))
+        assert np.max(np.abs(x_h - x_r)) < 5e-3 * scale
+        assert abs(float(m_h.drag) - float(m_ref.drag)) < 1e-3
+        assert abs(float(m_h.delta_p) - float(m_ref.delta_p)) < 1e-3
+
+
+def test_full_steps_match_on_3d_rcb_partition():
+    """RCB partition of a 3D tet mesh (multi-neighbor in general) == single
+    device (reference partitions 3D meshes the same way, cpp:56-61)."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    from navier_stokes_equations_tpu.mesh import generators
+
+    cfg = dataclasses.replace(test_cases.make("3D-2Z", deltat=0.01), dtype="float64")
+    mesh = sharding.partition_mesh(
+        taylor_hood.build(generators.channel_cylinder_3d(0.09, 0.05)), N_DEV
+    )
+    ref = solver.NavierStokesSolver(cfg, mesh)
+    hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV)
+    s_ref = ref.initial_state()
+    s_h = hs.initial_state()
+    s_ref, m_ref = ref.step(s_ref)
+    s_h, m_h = hs.step(s_h)
+    assert abs(int(m_h.gmres_iters) - int(m_ref.gmres_iters)) <= 2
+    assert bool(m_h.converged)
+    x_h = np.asarray(hs.global_solution(s_h))
+    x_r = np.asarray(s_ref.x_old)
+    scale = np.max(np.abs(x_r))
+    assert np.max(np.abs(x_h - x_r)) < 5e-3 * scale
+    assert abs(float(m_h.drag) - float(m_ref.drag)) < 2e-3
