@@ -37,10 +37,12 @@ tolerance) is asserted on an 8-device CPU mesh in tests/test_halo.py.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import NonlinearMethod, SolverConfig, TimeScheme
@@ -118,20 +120,6 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 f" (precond_schur='cc'), not {cfg.precond_schur!r}"
             )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
-        if cfg.nonlinear_method == NonlinearMethod.NEWTON and self._newton_host:
-            # The resolved driver is "host" (explicit, or auto at >200k dofs):
-            # the halo layout only has the fully-jitted while_loop Newton,
-            # whose single device program runs for minutes on large meshes
-            # and gets killed by the TPU worker — fail loudly up front
-            # instead of mid-run (same convention as the precond rejections
-            # above).
-            raise NotImplementedError(
-                "halo layout has no host-driven Newton loop; the resolved "
-                f"newton_driver is 'host' (newton_driver={cfg.newton_driver!r}"
-                f", n_dofs={self.fe.n_dofs}).  Set newton_driver='graph' to "
-                "accept the single-program risk, or use the single-chip "
-                "solver."
-            )
         if n_shards is None:
             n_shards = len(jax.devices())
         self.device_mesh = (
@@ -144,8 +132,6 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             # (the multi-round exchange handles it); on channel geometries
             # the recursion reproduces flow-direction strips.  Equivalent
             # of the reference's partition_triangulation (cpp:56-61).
-            import numpy as np
-
             cent = np.asarray(self.mesh.vertices)[
                 np.asarray(self.mesh.elems_p1[: self.mesh.n_el_real])
             ].mean(axis=1)
@@ -198,6 +184,13 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         self._attempt_jit = jax.jit(self._halo_attempt)
         self._newton_jit = jax.jit(self._halo_newton_step)
+        # Host-driven halo Newton pieces (one jitted call per assembly /
+        # solve keeps device programs seconds-long on large meshes — the
+        # same rationale as the single-chip host driver).
+        self._hn_x0_jit = jax.jit(self._hn_x0)
+        self._hn_asm_jit = jax.jit(self._hn_asm)
+        self._hn_slv_jit = jax.jit(self._hn_slv)
+        self._hn_fin_jit = jax.jit(self._hn_fin)
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -765,10 +758,152 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             iters, res,
         )
 
+    # --- host-driven halo Newton (bounded device-call length) -----------
+    def _hn_params(self, theta):
+        cfg = self.cfg
+        return assembly.StepParams(
+            dt=jnp.asarray(self.dt0, self.dtype), theta=theta,
+            nu=jnp.asarray(self.nu, self.dtype), rho=cfg.rho,
+            gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+
+    def _hn_x0(self, state, t_new, hfe, statics):
+        """Dirichlet-lifted initial iterate + x_old blocks (cpp:1118-1142)."""
+        g_glob = self.dirichlet.values(self.cfg.inlet_profile, t_new)
+        g2 = hf.scatter_local(hfe, g_glob.astype(self.dtype))
+        x_old2 = state.x_old.reshape(hfe.n_shards, hfe.n_ld)
+        return jnp.where(statics.mask, g2, x_old2), x_old2
+
+    def _hn_asm(self, x2, x_old2, t_new, theta, hfe, pops, statics, fe):
+        params = self._hn_params(theta)
+        b2, diag2, babs2, tables = self._assemble_newton_halo(
+            hfe, params, x2, x_old2, t_new
+        )
+        mask2 = statics.mask
+        b_hat = jnp.where(mask2, 0.0, b2)
+        diag2 = jnp.where(mask2, 1.0, diag2)
+        diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
+        eps = jnp.finfo(b2.dtype).eps
+        floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
+        return b_hat, diag2, floor, jnp.linalg.norm(b_hat), tables
+
+    def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, d1, t_new, theta,
+                hfe, pops, statics, fe):
+        cfg = self.cfg
+        params = self._hn_params(theta)
+        Pn = hfe.n_shards
+        apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
+        div_apply = self._make_div_apply(hfe, params)
+        precond = self._make_halo_precond(
+            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a
+        )
+        sol = gmres.fgmres(
+            apply_a, b_hat.reshape(-1), precond=precond,
+            x0=jnp.zeros((Pn * hfe.n_ld,), self.dtype),
+            restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_newton,
+            rtol=cfg.gmres_rtol_newton, alloc=cfg.gmres_alloc,
+        )
+        lin_ok = sol.converged
+        d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
+        upd = sol.x.reshape(Pn, hfe.n_ld)
+        x_new = x2 + d2 * upd
+        res = jnp.linalg.norm(b_hat)
+
+        def backtrack(_):
+            b2, _, _, _ = self._assemble_newton_halo(
+                hfe, params, x_new, x_old2, t_new
+            )
+            new_res = jnp.linalg.norm(jnp.where(statics.mask, 0.0, b2))
+            bad = new_res > 2.0 * res
+            d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
+            return jnp.where(bad, x2 + d3 * upd, x_new), d3
+
+        x_out, d_out = jax.lax.cond(
+            ~lin_ok, backtrack, lambda _: (x_new, d2), None
+        )
+        return x_out, d_out, sol.iterations
+
+    def _hn_fin(self, state, t_new, x_flat, ok, tg, nits, res, hfe, statics):
+        return self._halo_finalize(
+            state, t_new, hfe, statics, x_flat, ok, tg,
+            jnp.asarray(self.dt0, self.dtype), nits, res,
+        )
+
+    def _halo_newton_host_step(self, state: State):
+        """Host-driven damped Newton on the halo layout.
+
+        Same control flow (damping, honest stall exit) as the single-chip
+        ``_newton_host_step``; one jitted device call per assembly and per
+        linear solve bounds every device program.
+        """
+        cfg = self.cfg
+        hfe, pops, statics, fe = self.hfe, self.pressure_ops, self.statics, self.fe
+        first = bool(state.first_step)  # one pull
+        theta_eff = (
+            1.0
+            if (first and cfg.time_scheme == TimeScheme.CRANK_NICOLSON)
+            else cfg.theta
+        )
+        th = jnp.asarray(theta_eff, self.dtype)
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        x2, x_old2 = self._hn_x0_jit(state, t_new, hfe, statics)
+
+        prev = float("inf")
+        res0 = None
+        stall = 0
+        d = 1.0
+        tg = jnp.asarray(0, jnp.int32)
+        iters = 0
+        done = False
+        res_dev = jnp.asarray(0.0, self.dtype)
+        for it in range(cfg.newton_max_iterations):
+            b_hat, diag2, floor_dev, res_dev, tables = self._hn_asm_jit(
+                x2, x_old2, t_new, th, hfe, pops, statics, fe
+            )
+            res, floor = (
+                float(v) for v in np.asarray(jnp.stack([res_dev, floor_dev]))
+            )
+            if it == 0:
+                res0 = res
+            stall = stall + 1 if res > 0.9 * prev else 0
+            if res < cfg.newton_tolerance or res < cfg.newton_rtol * res0:
+                done = True
+                break
+            if stall >= 3:
+                done = res <= cfg.newton_stall_floor_factor * floor
+                if not done:
+                    logging.getLogger(__name__).warning(
+                        "halo Newton stalled at ||R||=%.3e (floor est %.3e) "
+                        "after %d iterations — reporting non-convergence",
+                        res, floor, it,
+                    )
+                break
+            d1 = d
+            if it > 0 and res > 0.99 * prev:
+                d1 = max(0.05, d * 0.5)
+            if res < 0.5 * prev and d1 < 1.0 - 1e-12:
+                d1 = min(1.0, d1 * 1.5)
+            x2, d_dev, its_dev = self._hn_slv_jit(
+                x2, x_old2, b_hat, diag2, tables,
+                jnp.asarray(d1, self.dtype), t_new, th, hfe, pops, statics, fe,
+            )
+            d = float(d_dev)  # pull
+            tg = tg + its_dev
+            prev = res
+            iters += 1
+
+        new_state, m = self._hn_fin_jit(
+            state, t_new, x2.reshape(-1), jnp.asarray(done), tg,
+            jnp.asarray(iters, jnp.int32), res_dev, hfe, statics,
+        )
+        return new_state, self._pull_metrics(m)
+
     # ------------------------------------------------------------------
     def step(self, state: State):
         """Host-side retry ladder (one compiled attempt program, k traced)."""
         if self.cfg.nonlinear_method == NonlinearMethod.NEWTON:
+            if self._newton_host:
+                return self._halo_newton_host_step(state)
             new_state, m = self._newton_jit(
                 state, self.hfe, self.pressure_ops, self.statics, self.fe
             )

@@ -176,3 +176,26 @@ def test_full_steps_match_on_3d_rcb_partition():
     scale = np.max(np.abs(x_r))
     assert np.max(np.abs(x_h - x_r)) < 5e-3 * scale
     assert abs(float(m_h.drag) - float(m_ref.drag)) < 2e-3
+
+
+def test_halo_newton_host_driver_matches_graph(mesh2d_path):
+    """Host-driven halo Newton == fully-jitted halo while_loop, bit-exact
+    (same sequence of assemblies and solves, host vs lax control flow)."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    mesh = sharding.partition_mesh(taylor_hood.load(mesh2d_path), N_DEV)
+    res = {}
+    for drv in ("graph", "host"):
+        cfg = dataclasses.replace(
+            test_cases.make("2D-1", deltat=0.1), dtype="float64", newton_driver=drv
+        )
+        hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV)
+        st = hs.initial_state()
+        for _ in range(2):
+            st, m = hs.step(st)
+        res[drv] = (
+            np.asarray(hs.global_solution(st)),
+            m.newton_iters, m.gmres_iters, m.converged,
+        )
+    np.testing.assert_array_equal(res["graph"][0], res["host"][0])
+    assert res["graph"][1:] == res["host"][1:]
