@@ -24,15 +24,12 @@ BASELINE_STEPS_PER_SEC = 0.31  # reference 2D-2, 4-rank MPI CPU (BASELINE.md)
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: first compile of the step program
-    takes minutes on TPU; subsequent runs load from cache in seconds."""
-    import jax
+    """Compile cache + full-precision f32 matmuls (utils/platform.py:
+    DEFAULT TPU matmul precision is bf16 passes — noisier physics AND
+    slower end-to-end, because FGMRES burns iterations below the noise)."""
+    from navier_stokes_equations_tpu.utils.platform import configure
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ns_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    configure()
 
 
 

@@ -82,11 +82,9 @@ def main(argv=None):
         os.environ.setdefault("JAX_PLATFORMS", args.platform)
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ns_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from navier_stokes_equations_tpu.utils.platform import configure
+
+    configure()  # compile cache + full-precision f32 matmuls (see platform.py)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.dtype == "float64":
