@@ -78,14 +78,30 @@ def make_system_operator(
     uadv_q, uadv_ref, g_adv, tau = tables
     g1 = jnp.einsum("ck,ekd->ecd", fe.p1_refg, fe.jinv)  # (n_el, n1, dim)
 
-    ndv = dim * fe.n2
 
     def fields(x):
-        """Gather + interpolate the trial function."""
+        """Gather + interpolate the trial function.
+
+        When the P2 node numbering leads with the P1 vertices
+        (``fe.fused_up_gather``), velocity and pressure ride ONE
+        (n_el, n2)-slot gather of row width dim+1 — TPU gather cost is per
+        slot, so the pressure gather is free."""
         u = x[: fe.n_udofs].reshape(dim, fe.n_vnodes).T
         p = x[fe.n_udofs :]
-        u_e = u[fe.elems_p2]  # (n_el, n2, dim)
-        p_e = p[fe.elems_p1]  # (n_el, n1)
+        if fe.fused_up_gather:
+            up = jnp.concatenate(
+                [
+                    u,
+                    jnp.pad(p, (0, fe.n_vnodes - fe.n_p))[:, None],
+                ],
+                axis=1,
+            )
+            up_e = up[fe.elems_p2]  # (n_el, n2, dim+1)
+            u_e = up_e[..., :dim]
+            p_e = up_e[:, : fe.n1, dim]  # vertices lead the P2 numbering
+        else:
+            u_e = u[fe.elems_p2]  # (n_el, n2, dim)
+            p_e = p[fe.elems_p1]  # (n_el, n1)
         u_q = jnp.einsum("qa,ead->eqd", fe.p2_val, u_e)
         du_ref = jnp.einsum("qak,ead->eqkd", fe.p2_refg, u_e)
         gu = jnp.einsum("eqkd,ekm->eqdm", du_ref, fe.jinv)  # grad u [d, m]
@@ -119,15 +135,14 @@ def make_system_operator(
     def integrate_velocity_rows(V, Gref):
         yv = jnp.einsum("eq,eqd,qa->ead", fe.jxw, V, fe.p2_val)
         yv = yv + jnp.einsum("eq,eqdk,qak->ead", fe.jxw, Gref, fe.p2_refg)
-        return jnp.transpose(yv, (0, 2, 1)).reshape(fe.n_el, ndv)  # (d, a) major
+        return yv  # (n_el, n2, dim) — accumulate_ud's natural layout
 
     def apply(x):
         u_q, gu, p_q, gradp = fields(x)
         V, Gref, divu = momentum_terms(u_q, gu, p_q, gradp)
         yv_e = integrate_velocity_rows(V, Gref)
         yp_e = -jnp.einsum("eq,eq,qc->ec", fe.jxw, divu, fe.p1_val)
-        y_e = jnp.concatenate([yv_e, yp_e], axis=1)
-        return fe.accumulate(y_e)
+        return fe.accumulate_ud(yv_e, yp_e)
 
     def apply_velocity_block(x):
         """A_vv x: trial pressure ignored, pressure rows dropped."""
@@ -136,10 +151,12 @@ def make_system_operator(
         zero_p = jnp.zeros_like(u_q[..., 0])
         V, Gref, _ = momentum_terms(u_q, gu, zero_p, jnp.zeros_like(u_q[:, 0, :]))
         yv_e = integrate_velocity_rows(V, Gref)
-        # The transpose map indexes (n_el, nd) positions, so feed it the
-        # full-width element block with zero pressure rows.
-        y_e = jnp.concatenate([yv_e, jnp.zeros((fe.n_el, fe.n1), yv_e.dtype)], axis=1)
-        return fe.accumulate(y_e)
+        if fe.use_gather_scatter:
+            u = fe.accumulate_nodes(yv_e)  # pressure rows never formed
+            return jnp.concatenate(
+                [u.T.reshape(-1), jnp.zeros((fe.n_p,), u.dtype)]
+            )
+        return fe.accumulate_ud(yv_e, jnp.zeros((fe.n_el, fe.n1), yv_e.dtype))
 
     def apply_divergence(x):
         """B x: pressure rows only (the preconditioner's step 2)."""
