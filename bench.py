@@ -49,7 +49,12 @@ def main():
         mesh = taylor_hood.build(generators.channel_cylinder_2d(0.03, 0.002))
         mesh_name = "generated-2D-100-equivalent"
 
-    cfg = dataclasses.replace(test_cases.make("2D-2", deltat=0.01), dtype="float32")
+    cfg = dataclasses.replace(
+        test_cases.make("2D-2", deltat=0.01),
+        dtype="float32",
+        operator_path=os.environ.get("BENCH_OPERATOR_PATH", "quadrature"),
+        tile_elements=int(os.environ.get("BENCH_TILE_E", "16")),
+    )
     s = solver.NavierStokesSolver(cfg, mesh)
 
     warmup_steps = int(os.environ.get("BENCH_WARMUP_STEPS", "500"))

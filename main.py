@@ -61,6 +61,11 @@ def parse_args(argv=None):
         help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
     )
     p.add_argument(
+        "--operator-path", default=None,
+        choices=["quadrature", "tile", "element"],
+        help="Krylov operator evaluation (config.operator_path)",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -109,6 +114,8 @@ def main(argv=None):
         over["precond_p1_iters"] = args.p1_iters
     if args.schur:
         over["precond_schur"] = args.schur
+    if args.operator_path:
+        over["operator_path"] = args.operator_path
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)

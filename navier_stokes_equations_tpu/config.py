@@ -151,10 +151,17 @@ class SolverConfig:
     precond_schur_dense_max: int = 20000
 
     # Krylov operator evaluation: "quadrature" (sum-factorized shared-table
-    # GEMMs, the fast TPU path) or "element" (batched per-element matrices;
-    # also the reference for correctness tests).  Both evaluate the
-    # identical bilinear form.
+    # GEMMs, re-derives the form per application), "tile" (per-tile dense
+    # node-block matrices assembled ONCE per step via exact one-hot MXU
+    # contractions — the TPU analog of the reference's assembled Trilinos
+    # matrix + SpMV, ops/tile_operator.py; amortizes the slot gathers over
+    # the ~7 Krylov applications per step), or "element" (batched
+    # per-element matrices; also the reference for correctness tests).
+    # All evaluate the identical bilinear form.
     operator_path: str = "quadrature"
+    # Elements per tile on the "tile" path: 32 puts a 2D tile's node-slot
+    # count at exactly 128 (the f32 lane width) on the benchmark meshes.
+    tile_elements: int = 32
 
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"

@@ -32,7 +32,15 @@ import numpy as np
 from ..config import NonlinearMethod, SolverConfig, TimeScheme
 from ..mesh import taylor_hood
 from ..mesh.taylor_hood import THMesh
-from ..ops import assembly, dirichlet, fe_arrays, functionals, matfree, operators
+from ..ops import (
+    assembly,
+    dirichlet,
+    fe_arrays,
+    functionals,
+    matfree,
+    operators,
+    tile_operator,
+)
 from ..solvers import gmres, preconditioners
 
 
@@ -89,6 +97,13 @@ class NavierStokesSolver:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
         self.fe = fe_arrays.build_fe_arrays(mesh, n_q1d=n_q1d, dtype=dtype)
+        if cfg.operator_path == "tile":
+            self.fe = dataclasses.replace(
+                self.fe,
+                tiles=tile_operator.build_tile_arrays(
+                    mesh, self.fe, tile_e=cfg.tile_elements
+                ),
+            )
         self.dirichlet = dirichlet.build_dirichlet(mesh, self.fe, dtype=dtype)
         pin = dirichlet.pressure_pin_mask(mesh, self.fe)
         self.pressure_ops = preconditioners.build_pressure_operators(
@@ -212,6 +227,28 @@ class NavierStokesSolver:
         )
         return res
 
+    def _global_diag(self, fe, diag_e):
+        """Element-row diagonals -> safe global Jacobi diagonal."""
+        diag = jnp.where(
+            self.dirichlet.mask, 1.0, operators.scatter_add(fe, diag_e)
+        )
+        return jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+
+    def _nodeblock_inv(self, fe, params, u_adv):
+        """Per-node dim x dim velocity block inverses (precond_vel_method
+        == "nodeblock"), or None for other velocity smoothers."""
+        if self.cfg.precond_vel_method != "nodeblock":
+            return None
+        mask = self.dirichlet.mask
+        Bn = assembly.oseen_nodeblock_diag(fe, params, u_adv)
+        Bacc = fe.accumulate_nodes(
+            Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
+        ).reshape(fe.n_vnodes, fe.dim, fe.dim)
+        mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
+        either = mu[:, :, None] | mu[:, None, :]
+        eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
+        return assembly.invert_spd_blocks(jnp.where(either, eye, Bacc))
+
     # --- linearized (Oseen) path --------------------------------------
     #
     # The retry ladder (reference: cpp:1209-1289) is expressed as a flat
@@ -272,21 +309,28 @@ class NavierStokesSolver:
             # preconditioner needs only the matrix diagonal.
             diag_e, b_e = assembly.oseen_rhs_diag(fe, params, u_star, u_old, f_new, f_old)
             b = operators.scatter_add(fe, b_e)
-            mask = self.dirichlet.mask
-            diag = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
-            diag = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-            nodeblock_inv = None
-            if cfg.precond_vel_method == "nodeblock":
-                Bn = assembly.oseen_nodeblock_diag(fe, params, u_star)
-                Bacc = fe.accumulate_nodes(
-                    Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
-                ).reshape(fe.n_vnodes, fe.dim, fe.dim)
-                mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
-                either = mu[:, :, None] | mu[:, None, :]
-                eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
-                Bacc = jnp.where(either, eye, Bacc)
-                nodeblock_inv = assembly.invert_spd_blocks(Bacc)
+            diag = self._global_diag(fe, diag_e)
+            nodeblock_inv = self._nodeblock_inv(fe, params, u_star)
             op = matfree.make_system_operator(fe, params, u_star)
+            res = self._solve_linear(
+                fe, pops, None, b, g, dt_att, th, x_start,
+                cfg.gmres_maxiter_linear, op=op, diag=diag,
+                nodeblock_inv=nodeblock_inv, u_adv=u_star,
+            )
+        elif cfg.operator_path == "tile":
+            # Assembled path: element blocks are formed once per attempt
+            # and reduced to per-tile dense node-block matrices; every
+            # Krylov application is then one slot gather + batched MXU
+            # matvecs (ops/tile_operator.py) instead of re-deriving the
+            # form.
+            dvv, cvv, avp, apv, b_v = assembly.oseen_blocks(
+                fe, params, u_star, u_old, f_new, f_old
+            )
+            b = operators.scatter_add(fe, assembly.rhs_to_element(fe, b_v))
+            diag = self._global_diag(fe, assembly.blocks_diag(fe, dvv, cvv))
+            nodeblock_inv = self._nodeblock_inv(fe, params, u_star)
+            blk = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+            op = tile_operator.make_tile_operator(fe, fe.tiles, blk)
             res = self._solve_linear(
                 fe, pops, None, b, g, dt_att, th, x_start,
                 cfg.gmres_maxiter_linear, op=op, diag=diag,
@@ -361,6 +405,14 @@ class NavierStokesSolver:
             )
             Ad = jnp.where(mask, 1.0, operators.scatter_add(fe, diag_e))
             Ad = jnp.where(jnp.abs(Ad) > 1e-30, Ad, 1.0)
+        elif self.cfg.operator_path == "tile":
+            # ``Ad`` carries the physical blocks; the linear solve reduces
+            # them to tile matrices once per Newton iteration.
+            dvv, cvv, avp, apv, b_v, b_p = assembly.newton_blocks(
+                fe, params, u, p, u_old, f_new, f_old
+            )
+            Ad = (dvv, cvv, avp, apv)
+            b_e = assembly.rhs_to_element(fe, b_v, b_p)
         else:
             Ad, b_e = assembly.newton_system(fe, params, u, p, u_old, f_new, f_old)
         b = operators.scatter_add(fe, b_e)
@@ -380,27 +432,28 @@ class NavierStokesSolver:
         """
         cfg = self.cfg
         quad = cfg.operator_path == "quadrature"
-        mask = self.dirichlet.mask
+        tile = cfg.operator_path == "tile"
         op = None
-        nodeblock_inv = None
+        diag = None
         u_x, _ = fe.split(x)
         if quad:
+            # Ad IS the global Jacobian diagonal (newton_rhs_diag).
             op = matfree.make_system_operator(fe, params, u_x, newton_reaction=True)
-        if cfg.precond_vel_method == "nodeblock":
-            Bn = assembly.oseen_nodeblock_diag(fe, params, u_x)
-            Bacc = fe.accumulate_nodes(
-                Bn.reshape(fe.n_el, fe.n2, fe.dim * fe.dim)
-            ).reshape(fe.n_vnodes, fe.dim, fe.dim)
-            mu = mask[: fe.n_udofs].reshape(fe.dim, fe.n_vnodes).T
-            either = mu[:, :, None] | mu[:, None, :]
-            eye = jnp.eye(fe.dim, dtype=Bacc.dtype)
-            nodeblock_inv = assembly.invert_spd_blocks(jnp.where(either, eye, Bacc))
+            diag = Ad
+        elif tile:
+            # Ad carries the Jacobian's physical blocks; reduce them to
+            # tile matrices once — the Krylov applications amortize it.
+            dvv, cvv, avp, apv = Ad
+            diag = self._global_diag(fe, assembly.blocks_diag(fe, dvv, cvv))
+            blk = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+            op = tile_operator.make_tile_operator(fe, fe.tiles, blk)
+        nodeblock_inv = self._nodeblock_inv(fe, params, u_x)
         sol = self._solve_linear(
-            fe, pops, None if quad else Ad, b_hat,
+            fe, pops, Ad if op is None else None, b_hat,
             jnp.zeros_like(b_hat), params.dt, params.theta,
             jnp.zeros_like(x), cfg.gmres_maxiter_newton,
             rtol=cfg.gmres_rtol_newton, op=op,
-            diag=Ad if quad else None, u_adv=u_x,
+            diag=diag, u_adv=u_x,
             nodeblock_inv=nodeblock_inv,
         )
         lin_ok = sol.converged

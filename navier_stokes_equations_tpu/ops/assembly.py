@@ -85,6 +85,30 @@ def _blocks_to_element_matrix(fe: FEArrays, diag_vv, cross_vv, A_vp, A_pv):
     return jnp.concatenate([top, bot], axis=1)
 
 
+def rhs_to_element(fe: FEArrays, b_v, b_p=None):
+    """((n_el, n2, dim) velocity rows, optional (n_el, n1) pressure rows)
+    -> (n_el, nd) element RHS in the component-major local layout."""
+    bv = jnp.transpose(b_v, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
+    if b_p is None:
+        b_p = jnp.zeros((fe.n_el, fe.n1), b_v.dtype)
+    return jnp.concatenate([bv, b_p], axis=1)
+
+
+def blocks_diag(fe: FEArrays, diag_vv, cross_vv):
+    """(n_el, nd) element-row matrix diagonal from the physical blocks
+    (pressure rows are zero: the saddle system has no pp block)."""
+    dv = jnp.diagonal(diag_vv, axis1=1, axis2=2)  # (n_el, n2)
+    cols = []
+    for i in range(fe.dim):
+        d = dv
+        if cross_vv is not None:
+            d = d + jnp.diagonal(cross_vv[:, :, i, :, i], axis1=1, axis2=2)
+        cols.append(d)
+    return jnp.concatenate(
+        cols + [jnp.zeros((fe.n_el, fe.n1), dv.dtype)], axis=1
+    )
+
+
 def _vel_rhs_to_element(fe: FEArrays, b_v):
     """(n_el, n2, dim) velocity test-function RHS -> (n_el, nd)."""
     bv = jnp.transpose(b_v, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
@@ -98,7 +122,7 @@ def _divergence_blocks(fe: FEArrays, g2):
     return bmat, jnp.transpose(bmat, (0, 3, 1, 2))
 
 
-def oseen_system(
+def oseen_blocks(
     fe: FEArrays,
     params: StepParams,
     u_star,  # (n_vnodes, dim) extrapolated advection field
@@ -106,7 +130,18 @@ def oseen_system(
     f_new_q: Optional[Any] = None,  # (n_el, nq, dim) forcing at t^{n+1}
     f_old_q: Optional[Any] = None,
 ):
-    """Semi-implicit (Oseen) element system (reference: cpp:569-831)."""
+    """Physical blocks of the semi-implicit (Oseen) element system
+    (reference: cpp:569-831) WITHOUT composing the (nd, nd) element matrix:
+
+      diag_vv (n_el, n2, n2)           component-diagonal velocity block
+      cross_vv (n_el, n2, dim, n2, dim) component coupling, or None
+      A_vp (n_el, n2, dim, n1), A_pv (n_el, n1, n2, dim)
+      b_v (n_el, n2, dim)              velocity test-function RHS
+
+    The tile-assembled operator path consumes these directly
+    (ops/tile_operator.py) — the (nd, nd) scatter is the expensive part
+    of :func:`oseen_system` and carries no information beyond the blocks.
+    """
     g2 = fe.phys_grads_p2()
     ustar_e = fe.gather_u(u_star)
     uold_e = fe.gather_u(u_old)
@@ -160,6 +195,21 @@ def oseen_system(
             rhs_src = rhs_src + f_theta
         b_v += jnp.einsum("eq,eqa,eqd->ead", fe.jxw, test, rhs_src)
 
+    return diag_vv, cross_vv, A_vp, A_pv, b_v
+
+
+def oseen_system(
+    fe: FEArrays,
+    params: StepParams,
+    u_star,  # (n_vnodes, dim) extrapolated advection field
+    u_old,  # (n_vnodes, dim)
+    f_new_q: Optional[Any] = None,  # (n_el, nq, dim) forcing at t^{n+1}
+    f_old_q: Optional[Any] = None,
+):
+    """Semi-implicit (Oseen) element system (reference: cpp:569-831)."""
+    diag_vv, cross_vv, A_vp, A_pv, b_v = oseen_blocks(
+        fe, params, u_star, u_old, f_new_q, f_old_q
+    )
     A_e = _blocks_to_element_matrix(fe, diag_vv, cross_vv, A_vp, A_pv)
     b_e = _vel_rhs_to_element(fe, b_v)
     return A_e, b_e
@@ -298,7 +348,7 @@ def invert_spd_blocks(B):
     return adj / det[..., None, None]
 
 
-def newton_system(
+def newton_blocks(
     fe: FEArrays,
     params: StepParams,
     u_cur,  # (n_vnodes, dim) current Newton iterate
@@ -307,7 +357,9 @@ def newton_system(
     f_new_q: Optional[Any] = None,
     f_old_q: Optional[Any] = None,
 ):
-    """Newton Jacobian and residual RHS (= -R) (reference: cpp:278-539)."""
+    """Physical blocks + RHS of the Newton system (reference: cpp:278-539);
+    see :func:`oseen_blocks` for the block shapes (cross_vv is always
+    present here; returns an extra ``b_p (n_el, n1)`` pressure-row RHS)."""
     g2 = fe.phys_grads_p2()
     ucur_e = fe.gather_u(u_cur)
     uold_e = fe.gather_u(u_old)
@@ -381,6 +433,22 @@ def newton_system(
             strong = strong - f_theta
         b_v -= jnp.einsum("eq,eqa,eqd->ead", fe.jxw, test, strong)
 
+    return diag_vv, cross_vv, A_vp, A_pv, b_v, b_p
+
+
+def newton_system(
+    fe: FEArrays,
+    params: StepParams,
+    u_cur,  # (n_vnodes, dim) current Newton iterate
+    p_cur,  # (n_p,)
+    u_old,
+    f_new_q: Optional[Any] = None,
+    f_old_q: Optional[Any] = None,
+):
+    """Newton Jacobian and residual RHS (= -R) (reference: cpp:278-539)."""
+    diag_vv, cross_vv, A_vp, A_pv, b_v, b_p = newton_blocks(
+        fe, params, u_cur, p_cur, u_old, f_new_q, f_old_q
+    )
     A_e = _blocks_to_element_matrix(fe, diag_vv, cross_vv, A_vp, A_pv)
     bv = jnp.transpose(b_v, (0, 2, 1)).reshape(fe.n_el, fe.dim * fe.n2)
     b_e = jnp.concatenate([bv, b_p], axis=1)

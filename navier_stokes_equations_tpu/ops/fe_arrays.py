@@ -81,6 +81,10 @@ class FEArrays:
     # width dim+1 instead of two gathers (gather cost is per slot).
     # False on the halo layout, whose local node/vertex numberings differ.
     fused_up_gather: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Optional tile decomposition (ops/tile_operator.py, a pytree) —
+    # populated by the solver when config.operator_path == "tile" so it
+    # rides the existing (fe, pops) jit-argument contract.  None elsewhere.
+    tiles: Any = None
 
     @property
     def nd(self) -> int:

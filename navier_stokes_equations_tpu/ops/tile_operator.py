@@ -1,0 +1,354 @@
+"""Tile-assembled operator: per-tile dense node-block matrices for the
+Krylov hot path.
+
+The quadrature-path operator (ops/matfree.py) re-gathers the trial vector
+and re-derives the bilinear form on every application.  Inside FGMRES the
+SAME Oseen/Jacobian operator is applied many times per step (Krylov
+vectors + the preconditioner's post-smooth and divergence applications),
+so assembling it ONCE per step amortizes that work away:
+
+  * elements are ordered by Morton code of their centroid and grouped
+    into tiles of ``tile_e`` elements; each tile touches a bounded set of
+    nodes (``un`` slots after padding, vertex slots leading);
+  * once per step the element blocks (ops/assembly.py ``oseen_blocks`` /
+    ``newton_blocks``) are reduced to per-tile dense node-block matrices
+    by EXACT f32 matmuls against static one-hot slot matrices
+    (S = Eᵀ·blockdiag(A_e)·E — contraction length te*n2 keeps the MXU
+    busy; the one-hot entries are 0/1 so every product is exact and only
+    the final f32 accumulation rounds);
+  * every operator application is then ONE node-level slot gather (the
+    velocity components and pressure ride one slot row of width dim+1),
+    batched (un x un) MXU tile matvecs that read the blocks once from
+    HBM, and ONE bucketed accumulation of (un, dim+1) row blocks.
+
+The block structure mirrors the saddle-point physics instead of storing
+the dense ((dim+1)*un)^2 matrix (~4x less HBM traffic per application):
+
+  S (nt, un, un)                component-shared velocity block (the Oseen
+                                velocity operator is component-decoupled
+                                without SUPG/grad-div/Newton coupling)
+  V (nt, dim, dim, un, un)      component-coupled velocity block (Newton
+                                convection coupling, SUPG, grad-div)
+  G (nt, dim, un, un_p)         pressure gradient:  y_u[:, i] += G_i @ p
+  H (nt, dim, un_p, un)         divergence rows:    y_p += sum_i H_i @ u_i
+
+This is the TPU-native analog of assembling the reference's distributed
+Trilinos BlockSparseMatrix once per step and running SpMV inside GMRES
+(reference: src/classes/NavierStokes.cpp:255-273 sparsity + matrix
+reinit, 833-868 GMRES on the assembled matrix); the "sparsity pattern"
+here is the tile decomposition, whose blocks are dense MXU-friendly
+(un = 128 at tile_e = 32 on 2D meshes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fe_arrays import FEArrays, _bucketed_transpose_map
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileArrays:
+    """Static tile decomposition (host-built once per mesh).
+
+    Shapes: NT tiles of TE elements; un node slots per tile (padded to
+    the max over tiles, rounded to a lane-friendly multiple); un_p
+    leading vertex slots carry the pressure dofs (the taylor_hood
+    vertices-lead numbering makes np.unique return vertex nodes first).
+    """
+
+    elem_order: Any  # (NT*TE,) int32 element ids in tile order; pad = n_el
+    tile_nodes: Any  # (NT, un) int32 global node id per slot; pad = n_vnodes
+    E: Any  # (NT, TE*n2, un) one-hot slot matrix of each element node
+    E_p: Any  # (NT, TE*n1, un_p) one-hot vertex-slot matrix
+    acc_map: Any  # tuple of bucketed maps: (NT*un,) slots -> [0, n_vnodes)
+    n_tiles: int = dataclasses.field(metadata=dict(static=True))
+    tile_e: int = dataclasses.field(metadata=dict(static=True))
+    un: int = dataclasses.field(metadata=dict(static=True))
+    un_p: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBlocks:
+    """Per-step tile matrices (device, rebuilt each assembly)."""
+
+    S: Any  # (NT, un, un) or None (coupled case)
+    V: Any  # (NT, dim, dim, un, un) or None (uncoupled case)
+    G: Any  # (NT, dim, un, un_p)
+    H: Any  # (NT, dim, un_p, un)
+
+
+def _morton(cent: np.ndarray) -> np.ndarray:
+    """Morton (Z-order) code of element centroids, 2D or 3D."""
+    dim = cent.shape[1]
+    bits = 16 if dim == 2 else 10
+    q = np.clip(
+        ((cent - cent.min(0)) / (np.ptp(cent, axis=0) + 1e-30) * (2**bits - 1)),
+        0,
+        2**bits - 1,
+    ).astype(np.uint64)
+
+    def spread(v, gap):
+        out = np.zeros_like(v)
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * (gap + 1))
+        return out
+
+    code = np.zeros(len(cent), np.uint64)
+    for d in range(dim):
+        code |= spread(q[:, d], dim - 1) << d
+    return code
+
+
+def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32) -> TileArrays:
+    """Host-side tile decomposition of the element set.
+
+    Uses the HOST mesh arrays throughout (pulling fe device arrays
+    through the axon tunnel costs minutes at this size).
+    """
+    n_el, n2, n1 = fe.n_el, fe.n2, fe.n1
+    nv, nvert = fe.n_vnodes, mesh.n_vertices
+    e2 = np.asarray(mesh.elems_p2)
+    if not np.array_equal(e2[:, :n1], np.asarray(mesh.elems_p1)):
+        raise NotImplementedError(
+            "tile operator requires the vertices-lead P2 numbering "
+            "(taylor_hood synthesis invariant)"
+        )
+    n_real = mesh.n_el_real
+    cent = mesh.vertices[np.asarray(mesh.elems_p1)[:n_real]].mean(axis=1)
+    order = np.argsort(_morton(cent), kind="stable")
+    # Mesh-level padded elements (zero jacobians) go in trailing tiles.
+    order = np.concatenate([order, np.arange(n_real, n_el)])
+    nt = (n_el + tile_e - 1) // tile_e
+    pad = nt * tile_e - n_el
+    elem_order = np.concatenate([order, np.full(pad, n_el)]).astype(np.int32)
+
+    nodes_pad = np.concatenate([e2, np.zeros((1, n2), e2.dtype)])  # sentinel row
+    tiled_nodes = nodes_pad[elem_order.reshape(nt, tile_e)]  # (nt, TE, n2)
+
+    # Vertex node ids < nvert < edge-midpoint ids, so np.unique puts the
+    # tile's vertex slots first — pressure then lives on slots [0, un_p).
+    uniq = [np.unique(t) for t in tiled_nodes]
+    nvert_t = [int((u < nvert).sum()) for u in uniq]
+    un = -(-max(len(u) for u in uniq) // 8) * 8
+    un_p = -(-max(nvert_t) // 8) * 8
+    tile_nodes = np.full((nt, un), nv, np.int32)
+    loc = np.zeros((nt, tile_e, n2), np.int32)
+    for t in range(nt):
+        u = uniq[t]
+        tile_nodes[t, : len(u)] = u
+        loc[t] = np.searchsorted(u, tiled_nodes[t])
+    # Per-element slot maps are injective (distinct nodes -> distinct
+    # slots); sentinel elements (node row 0) land on slot 0 with zero
+    # matrix blocks, which is harmless.
+
+    # One-hot slot matrices (static; the build contracts against them).
+    dt = np.float64 if fe.jxw.dtype == jnp.float64 else np.float32
+    E = (loc.reshape(nt, tile_e * n2)[:, :, None] == np.arange(un)).astype(dt)
+    loc_p = loc[:, :, :n1]  # vertex slots of each element (< un_p)
+    E_p = (loc_p.reshape(nt, tile_e * n1)[:, :, None] == np.arange(un_p)).astype(dt)
+    # Sentinel elements would contribute spurious 1s at slot 0 — zero
+    # their rows outright (their values are zero anyway, but keeping E
+    # exact makes the build independent of value-padding conventions).
+    sent = (elem_order.reshape(nt, tile_e) == n_el)
+    E *= ~np.repeat(sent, n2, axis=1)[:, :, None]
+    E_p *= ~np.repeat(sent, n1, axis=1)[:, :, None]
+
+    # Accumulation transpose map: (nt*un) tile slots -> global nodes.
+    # Pad slots carry target nv; covering [0, nv + 1) and dropping the
+    # trailing single-row range discards them.
+    parts = _bucketed_transpose_map(
+        tile_nodes.astype(np.int64), nv + 1, [nvert, nv]
+    )
+    rows = 0
+    kept = []
+    for p in parts:
+        if rows >= nv:
+            break
+        kept.append(p)
+        rows += p.shape[0]
+    assert rows == nv, "tile accumulation map must cover exactly [0, n_vnodes)"
+
+    return TileArrays(
+        elem_order=jnp.asarray(elem_order),
+        tile_nodes=jnp.asarray(tile_nodes),
+        E=jnp.asarray(E),
+        E_p=jnp.asarray(E_p),
+        acc_map=tuple(jnp.asarray(g) for g in kept),
+        n_tiles=nt,
+        tile_e=tile_e,
+        un=un,
+        un_p=un_p,
+    )
+
+
+def _gather_elem(tiles: TileArrays, nchunk: int, A):
+    """(n_el, ...) element array -> (nchunk, Bc, TE, ...) in tile order,
+    sentinel elements zero."""
+    z = jnp.concatenate([A, jnp.zeros((1,) + A.shape[1:], A.dtype)])
+    nt, te = tiles.n_tiles, tiles.tile_e
+    Bc = -(-nt // nchunk)
+    pad = nchunk * Bc - nt
+    eo = jnp.concatenate(
+        [tiles.elem_order, jnp.full((pad * te,), A.shape[0], jnp.int32)]
+    )
+    return z[eo].reshape((nchunk, Bc, te) + A.shape[1:])
+
+
+def _pad_tiles(x, nchunk):
+    """(nt, ...) -> (nchunk, Bc, ...) with zero padding."""
+    nt = x.shape[0]
+    Bc = -(-nt // nchunk)
+    pad = nchunk * Bc - nt
+    xp = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return xp.reshape((nchunk, Bc) + x.shape[1:])
+
+
+def _blockdiag(A):
+    """(B, te, m, n) stacked element blocks -> (B, te*m, te*n)
+    block-diagonal."""
+    B, te, m, n = A.shape
+    eye = jnp.eye(te, dtype=A.dtype)
+    bd = jnp.einsum("tkab,kl->tkalb", A, eye)
+    return bd.reshape(B, te * m, te * n)
+
+
+def build_tile_blocks(
+    fe: FEArrays,
+    tiles: TileArrays,
+    diag_vv,  # (n_el, n2, n2)
+    cross_vv,  # (n_el, n2, dim, n2, dim) or None
+    A_vp,  # (n_el, n2, dim, n1)
+    A_pv,  # (n_el, n1, n2, dim)
+) -> TileBlocks:
+    """Element blocks -> per-tile dense node-block matrices.
+
+    Exact in f32 up to accumulation order: every contraction is an f32
+    matmul where one operand is 0/1 (the padded one-hot slot matrices),
+    so each product is exact and only the final sums round — unlike
+    bf16-pass tricks, which measured ~3e-3 relative error on TPU.
+    All matmuls have contraction length te*n2 (192 at tile_e=32 in 2D),
+    so the MXU runs at real utilization.
+    """
+    dim, n2, n1 = fe.dim, fe.n2, fe.n1
+    nt, te, un, un_p = tiles.n_tiles, tiles.tile_e, tiles.un, tiles.un_p
+    K = te * n2
+    # Chunk tiles so the blockdiag intermediate stays ~<=64 MB.
+    nchunk = max(1, -(-nt // max(1, (64 << 20) // (K * K * 4))))
+    Ec = _pad_tiles(tiles.E, nchunk)
+    Epc = _pad_tiles(tiles.E_p, nchunk)
+
+    Ao = _gather_elem(tiles, nchunk, diag_vv)
+    Gvp = _gather_elem(tiles, nchunk, A_vp)
+    Gpv = _gather_elem(tiles, nchunk, A_pv)
+    Xo = None if cross_vv is None else _gather_elem(tiles, nchunk, cross_vv)
+
+    def per_chunk(args):
+        if cross_vv is None:
+            E, Ep, A, vp, pv = args
+        else:
+            E, Ep, A, vp, pv, X = args
+        EtA = jnp.einsum("tKu,tKL->tuL", E, _blockdiag(A))
+        S = jnp.einsum("tuL,tLv->tuv", EtA, E)
+        G = []
+        H = []
+        for i in range(dim):
+            bd = _blockdiag(vp[..., i, :])  # (B, K, te*n1)
+            G.append(jnp.einsum("tKu,tKC,tCc->tuc", E, bd, Ep))
+            bdT = _blockdiag(pv[..., i])  # (B, te*n1, K)
+            H.append(jnp.einsum("tCc,tCK,tKu->tcu", Ep, bdT, E))
+        G = jnp.stack(G, axis=1)  # (B, dim, un, un_p)
+        H = jnp.stack(H, axis=1)  # (B, dim, un_p, un)
+        if cross_vv is None:
+            return S, G, H
+        eye = jnp.eye(dim, dtype=S.dtype)
+        V = []
+        for i in range(dim):
+            row = []
+            for j in range(dim):
+                bd = _blockdiag(X[:, :, :, i, :, j])
+                EtX = jnp.einsum("tKu,tKL->tuL", E, bd)
+                row.append(jnp.einsum("tuL,tLv->tuv", EtX, E) + eye[i, j] * S)
+            V.append(jnp.stack(row, axis=1))
+        return jnp.stack(V, axis=1), G, H  # (B, dim, dim, un, un)
+
+    args = (Ec, Epc, Ao, Gvp, Gpv) + (() if cross_vv is None else (Xo,))
+    out = jax.lax.map(per_chunk, args)
+    SV, G, H = (x.reshape((-1,) + x.shape[2:])[:nt] for x in out)
+    if cross_vv is None:
+        return TileBlocks(S=SV, V=None, G=G, H=H)
+    return TileBlocks(S=None, V=SV, G=G, H=H)
+
+
+def make_tile_operator(fe: FEArrays, tiles: TileArrays, blocks: TileBlocks):
+    """Return apply(x) = A x from tile blocks, with ``.velocity_block``
+    and ``.divergence`` attributes (the contract of
+    matfree.make_system_operator).
+
+    Everything is slot-major: the gather's natural (nt, un, dim+1) output
+    feeds the batched matvecs and the accumulation directly — no
+    transposes anywhere on the hot path.
+    """
+    dim, nv, n_p, n_u = fe.dim, fe.n_vnodes, fe.n_p, fe.n_udofs
+    C = dim + 1
+    nt, un, un_p = tiles.n_tiles, tiles.un, tiles.un_p
+    S, V, G, H = blocks.S, blocks.V, blocks.G, blocks.H
+
+    def gather_x(x, vel_only=False):
+        u = x[:n_u].reshape(dim, nv).T
+        if vel_only:
+            p = jnp.zeros((nv,), x.dtype)
+        else:
+            p = jnp.pad(x[n_u:], (0, nv - n_p))
+        up = jnp.concatenate([u, p[:, None]], axis=1)
+        upz = jnp.concatenate([up, jnp.zeros((1, C), x.dtype)])
+        return upz[tiles.tile_nodes]  # (nt, un, C) — ONE slot gather
+
+    def vel_rows(u_t):
+        if V is None:
+            return jnp.einsum("tuv,tvd->tud", S, u_t)
+        return jnp.einsum("tijuv,tvj->tui", V, u_t)
+
+    def accumulate(rows):
+        """(nt, un, k) slot rows -> (n_vnodes, k)."""
+        k = rows.shape[-1]
+        z = jnp.concatenate(
+            [rows.reshape(nt * un, k), jnp.zeros((1, k), rows.dtype)]
+        )
+        return jnp.concatenate([z[g].sum(axis=1) for g in tiles.acc_map])
+
+    def join(y):
+        # (n_vnodes, C) accumulated rows -> global [u | p].
+        return jnp.concatenate([y[:, :dim].T.reshape(-1), y[:n_p, dim]])
+
+    def apply(x):
+        x_t = gather_x(x)
+        u_t, p_t = x_t[:, :, :dim], x_t[:, :un_p, dim]
+        y_u = vel_rows(u_t) + jnp.einsum("tdvc,tc->tvd", G, p_t)
+        y_p = jnp.einsum("tdcv,tvd->tc", H, u_t)
+        rows = jnp.concatenate(
+            [y_u, jnp.pad(y_p, ((0, 0), (0, un - un_p)))[:, :, None]], axis=2
+        )
+        return join(accumulate(rows))
+
+    def apply_velocity_block(x):
+        u_t = gather_x(x, vel_only=True)[:, :, :dim]
+        y = accumulate(vel_rows(u_t))
+        return jnp.concatenate([y.T.reshape(-1), jnp.zeros((n_p,), x.dtype)])
+
+    def apply_divergence(x):
+        u_t = gather_x(x, vel_only=True)[:, :, :dim]
+        y_p = jnp.einsum("tdcv,tvd->tc", H, u_t)
+        y = accumulate(jnp.pad(y_p, ((0, 0), (0, un - un_p)))[:, :, None])
+        return y[:n_p, 0]
+
+    apply.velocity_block = apply_velocity_block
+    apply.divergence = apply_divergence
+    return apply

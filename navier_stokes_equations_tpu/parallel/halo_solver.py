@@ -119,6 +119,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 "halo layout implements the Cahouet-Chabard Schur action only"
                 f" (precond_schur='cc'), not {cfg.precond_schur!r}"
             )
+        if cfg.operator_path == "tile":
+            raise NotImplementedError(
+                "halo layout evaluates operators through its shard_mapped "
+                "quadrature kernels; operator_path='tile' is single-chip only"
+            )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
             n_shards = len(jax.devices())
