@@ -98,12 +98,18 @@ class NavierStokesSolver:
         self.dtype = dtype
         self.fe = fe_arrays.build_fe_arrays(mesh, n_q1d=n_q1d, dtype=dtype)
         if cfg.operator_path == "tile":
-            self.fe = dataclasses.replace(
-                self.fe,
-                tiles=tile_operator.build_tile_arrays(
-                    mesh, self.fe, tile_e=cfg.tile_elements
-                ),
+            tiles = tile_operator.build_tile_arrays(
+                mesh, self.fe, tile_e=cfg.tile_elements
             )
+            if not cfg.use_supg:
+                # Static S1/S2/G/H + quadrature tables enable the fast
+                # per-step Oseen build (SUPG makes G and the test
+                # functions dynamic — those cases use the generic build).
+                statics = jax.jit(tile_operator.build_tile_statics)(
+                    self.fe, tiles
+                )
+                tiles = dataclasses.replace(tiles, statics=statics)
+            self.fe = dataclasses.replace(self.fe, tiles=tiles)
         self.dirichlet = dirichlet.build_dirichlet(mesh, self.fe, dtype=dtype)
         pin = dirichlet.pressure_pin_mask(mesh, self.fe)
         self.pressure_ops = preconditioners.build_pressure_operators(
@@ -318,18 +324,29 @@ class NavierStokesSolver:
                 nodeblock_inv=nodeblock_inv, u_adv=u_star,
             )
         elif cfg.operator_path == "tile":
-            # Assembled path: element blocks are formed once per attempt
-            # and reduced to per-tile dense node-block matrices; every
-            # Krylov application is then one slot gather + batched MXU
-            # matvecs (ops/tile_operator.py) instead of re-deriving the
-            # form.
-            dvv, cvv, avp, apv, b_v = assembly.oseen_blocks(
+            # Assembled path: the operator is reduced ONCE per attempt to
+            # per-tile dense node-block matrices; every Krylov application
+            # is then one slot gather + batched MXU matvecs
+            # (ops/tile_operator.py) instead of re-deriving the form.
+            # RHS + Jacobi diagonal come from the quadrature-path kernel.
+            diag_e, b_e = assembly.oseen_rhs_diag(
                 fe, params, u_star, u_old, f_new, f_old
             )
-            b = operators.scatter_add(fe, assembly.rhs_to_element(fe, b_v))
-            diag = self._global_diag(fe, assembly.blocks_diag(fe, dvv, cvv))
+            b = operators.scatter_add(fe, b_e)
+            diag = self._global_diag(fe, diag_e)
             nodeblock_inv = self._nodeblock_inv(fe, params, u_star)
-            blk = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+            if cfg.use_supg:
+                dvv, cvv, avp, apv, _ = assembly.oseen_blocks(
+                    fe, params, u_star, u_old, f_new, f_old
+                )
+                blk = tile_operator.build_tile_blocks(
+                    fe, fe.tiles, dvv, cvv, avp, apv
+                )
+            else:
+                # Fast build: static S1/S2/G/H + one convection matmul.
+                blk = tile_operator.build_tile_blocks_oseen(
+                    fe, fe.tiles, params, u_star
+                )
             op = tile_operator.make_tile_operator(fe, fe.tiles, blk)
             res = self._solve_linear(
                 fe, pops, None, b, g, dt_att, th, x_start,

@@ -72,6 +72,9 @@ class TileArrays:
     tile_e: int = dataclasses.field(metadata=dict(static=True))
     un: int = dataclasses.field(metadata=dict(static=True))
     un_p: int = dataclasses.field(metadata=dict(static=True))
+    # Device-built TileStatics for the fast Oseen build (attached by the
+    # solver via dataclasses.replace after construction); None until then.
+    statics: Any = None
 
 
 @jax.tree_util.register_dataclass
@@ -83,6 +86,27 @@ class TileBlocks:
     V: Any  # (NT, dim, dim, un, un) or None (uncoupled case)
     G: Any  # (NT, dim, un, un_p)
     H: Any  # (NT, dim, un_p, un)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileStatics:
+    """Static (per-mesh) tile matrices and quadrature tables for the fast
+    Oseen build.  The non-SUPG Oseen operator is
+
+        S(dt, theta, u*) = S1/dt + theta*nu*S2 + theta*Conv(u*)
+
+    with S1 (mass) / S2 (stiffness) / G / H static — only the convection
+    term needs per-step work: ONE batched MXU contraction of the static
+    quadrature tables against u* (reference weak form: cpp:747-765)."""
+
+    S1: Any  # (NT, un, un) velocity mass tile matrices
+    S2: Any  # (NT, un, un) velocity stiffness tile matrices
+    G: Any  # (NT, dim, un, un_p) pressure gradient (static without SUPG)
+    H: Any  # (NT, dim, un_p, un) divergence rows
+    phi_val: Any  # (NT, TE*nq, un) P2 values of each slot basis function
+    phi_g: Any  # (NT, dim, TE*nq, un) physical gradients of slot basis
+    w: Any  # (NT, TE*nq) quadrature weights x |J|
 
 
 def _morton(cent: np.ndarray) -> np.ndarray:
@@ -285,6 +309,59 @@ def build_tile_blocks(
     if cross_vv is None:
         return TileBlocks(S=SV, V=None, G=G, H=H)
     return TileBlocks(S=None, V=SV, G=G, H=H)
+
+
+def build_tile_statics(fe: FEArrays, tiles: TileArrays) -> TileStatics:
+    """One-time device build of the static tile matrices + quadrature
+    tables (jit this with (fe, tiles) as ARGUMENTS — closure capture of
+    fe lowers the arrays host-side)."""
+    nt, te = tiles.n_tiles, tiles.tile_e
+    n2, n1, nq, dim = fe.n2, fe.n1, fe.nq, fe.dim
+    g2 = fe.phys_grads_p2()
+    mass = jnp.einsum("eq,qa,qb->eab", fe.jxw, fe.p2_val, fe.p2_val)
+    stiff = jnp.einsum("eq,eqad,eqbd->eab", fe.jxw, g2, g2)
+    bmat = -jnp.einsum("eq,qc,eqad->eadc", fe.jxw, fe.p1_val, g2)  # A_vp
+    apv = jnp.transpose(bmat, (0, 3, 1, 2))
+    b1 = build_tile_blocks(fe, tiles, mass, None, bmat, apv)
+    zvp = jnp.zeros_like(bmat)
+    b2 = build_tile_blocks(fe, tiles, stiff, None, zvp, jnp.zeros_like(apv))
+
+    E4 = tiles.E.reshape(nt, te, n2, tiles.un)
+    phi_val = jnp.einsum("qa,tkau->tkqu", fe.p2_val, E4).reshape(
+        nt, te * nq, tiles.un
+    )
+    g2_t = _gather_elem(tiles, 1, g2)[0]  # (nt, te, nq, n2, dim)
+    phi_g = jnp.einsum("tkqad,tkau->tdkqu", g2_t, E4).reshape(
+        nt, dim, te * nq, tiles.un
+    )
+    w = _gather_elem(tiles, 1, fe.jxw)[0].reshape(nt, te * nq)
+    return TileStatics(
+        S1=b1.S, S2=b2.S, G=b1.G, H=b1.H, phi_val=phi_val, phi_g=phi_g, w=w
+    )
+
+
+def build_tile_blocks_oseen(
+    fe: FEArrays, tiles: TileArrays, params, u_star
+) -> TileBlocks:
+    """Fast per-step Oseen tile build (non-SUPG): axpy of the static
+    matrices plus one batched MXU contraction for the convection term.
+
+    Evaluates the identical weak form as assembly.oseen_blocks (the
+    phi tables carry exactly the element shape values; slots outside an
+    element contribute exact zeros), reassociated over quadrature points
+    instead of elements."""
+    st: TileStatics = tiles.statics
+    upz = jnp.concatenate([u_star, jnp.zeros((1, fe.dim), u_star.dtype)])
+    u_t = upz[tiles.tile_nodes]  # (nt, un, dim)
+    uq = jnp.einsum("tQu,tud->tQd", st.phi_val, u_t)  # u* at tile q-points
+    phi_adv = jnp.einsum("tQd,tdQu->tQu", uq, st.phi_g)  # (u*.grad)phi
+    conv = jnp.einsum("tQu,tQ,tQv->tuv", st.phi_val, st.w, phi_adv)
+    S = (
+        st.S1 / params.dt
+        + (params.theta * params.nu) * st.S2
+        + params.theta * conv
+    )
+    return TileBlocks(S=S, V=None, G=st.G, H=st.H)
 
 
 def make_tile_operator(fe: FEArrays, tiles: TileArrays, blocks: TileBlocks):

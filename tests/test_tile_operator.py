@@ -105,6 +105,36 @@ def test_tile_blocks_match(fixture_mesh_fe):
     np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_ref), atol=1e-12 * scale)
 
 
+def test_fast_oseen_build_matches_generic(fixture_mesh_fe):
+    """Static-tables Oseen build == generic element-block build (the same
+    weak form reassociated over quadrature points; f64 roundoff only)."""
+    import dataclasses as dc
+
+    mesh, fe = fixture_mesh_fe
+    rng = np.random.default_rng(25)
+    params = assembly.StepParams(
+        dt=0.05, theta=0.6, nu=0.01, rho=1.0, gamma=0.1, use_supg=False
+    )
+    u_adv = jnp.asarray(rng.normal(size=(fe.n_vnodes, fe.dim)) * 0.3)
+    x = jnp.asarray(rng.normal(size=fe.n_dofs))
+
+    tiles = tile_operator.build_tile_arrays(mesh, fe, tile_e=16)
+    tiles = dc.replace(tiles, statics=tile_operator.build_tile_statics(fe, tiles))
+    dvv, cvv, avp, apv, _ = assembly.oseen_blocks(fe, params, u_adv, u_adv * 0.5)
+    blk_gen = tile_operator.build_tile_blocks(fe, tiles, dvv, cvv, avp, apv)
+    blk_fast = tile_operator.build_tile_blocks_oseen(fe, tiles, params, u_adv)
+
+    for a, b in ((blk_gen.S, blk_fast.S), (blk_gen.G, blk_fast.G), (blk_gen.H, blk_fast.H)):
+        scale = np.abs(np.asarray(a)).max()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12 * scale)
+
+    y_fast = tile_operator.make_tile_operator(fe, tiles, blk_fast)(x)
+    A_e, _ = assembly.oseen_system(fe, params, u_adv, u_adv * 0.5)
+    y_ref = operators.apply_element_matrices(fe, A_e, x)
+    scale = np.abs(np.asarray(y_ref)).max()
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-12 * scale)
+
+
 def test_blocks_diag_matches_element_diag(fixture_mesh_fe):
     mesh, fe = fixture_mesh_fe
     rng = np.random.default_rng(24)
