@@ -51,6 +51,9 @@ def main():
     write("mesh-3D-coarse.msh", generators.channel_cylinder_3d(h_far=0.1, h_cyl=0.03, n_layers=5))
     write("mesh-3D-medium.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=8))
     write("mesh-3D-fine.msh", generators.channel_cylinder_3d(h_far=0.045, h_cyl=0.012, n_layers=11))
+    # The rung the reference DEFINED but never ran (meshes/mesh-3D-40.geo):
+    # 309k tets / 1.36M dofs — resolved-drag territory (Cd -> ~3.3).
+    write("mesh-3D-xfine.msh", generators.channel_cylinder_3d(h_far=0.035, h_cyl=0.009, n_layers=14))
 
 
 if __name__ == "__main__":
