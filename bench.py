@@ -52,7 +52,7 @@ def main():
     cfg = dataclasses.replace(
         test_cases.make("2D-2", deltat=0.01),
         dtype="float32",
-        operator_path=os.environ.get("BENCH_OPERATOR_PATH", "quadrature"),
+        operator_path=os.environ.get("BENCH_OPERATOR_PATH", "tile"),
         tile_elements=int(os.environ.get("BENCH_TILE_E", "16")),
     )
     s = solver.NavierStokesSolver(cfg, mesh)

@@ -1,6 +1,6 @@
-"""Tile-operator probe on the bench mesh: build + apply microbench, then e2e.
+"""Tile-v2 operator probe on the bench mesh: micro + end-to-end A/B.
 
-Usage: python scripts/exp_tile.py [tile_e ...]
+Usage: python scripts/exp_tile.py [n_steps]
 """
 import sys, os, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -11,24 +11,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from navier_stokes_equations_tpu.mesh import taylor_hood
+from navier_stokes_equations_tpu.models import solver, test_cases
 from navier_stokes_equations_tpu.ops import assembly, fe_arrays, matfree, tile_operator
-from navier_stokes_equations_tpu.models import test_cases
 
-tile_sizes = [int(a) for a in sys.argv[1:]] or [16, 32]
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 
 mesh = taylor_hood.load('/root/reference/meshes/mesh-2D-100.msh')
-fe = fe_arrays.build_fe_arrays(mesh, dtype=jnp.float32)
-print(f'n_el {fe.n_el} n_dofs {fe.n_dofs} n_vnodes {fe.n_vnodes}', flush=True)
+cfg = dataclasses.replace(
+    test_cases.make('2D-2', deltat=0.01), dtype='float32', operator_path='tile'
+)
+s = solver.NavierStokesSolver(cfg, mesh)
+fe = s.fe
+tiles = fe.tiles
+print(f'n_el {fe.n_el} n_dofs {fe.n_dofs} nt {tiles.n_tiles} un {tiles.un} '
+      f'un_p {tiles.un_p}', flush=True)
 
 rng = np.random.default_rng(0)
-params = assembly.StepParams(dt=0.01, theta=0.5, nu=0.001, rho=1.0, gamma=0.0, use_supg=False)
+params = assembly.StepParams(
+    dt=jnp.float32(0.01), theta=jnp.float32(0.5), nu=jnp.float32(s.nu),
+    rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=False,
+)
 u_adv = jnp.asarray(rng.normal(size=(fe.n_vnodes, fe.dim)) * 0.3, jnp.float32)
 x = jnp.asarray(rng.normal(size=fe.n_dofs), jnp.float32)
 
-def timeit(f, n=20):
-    y = f()
-    jax.block_until_ready(y)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[0])  # force pull (axon defers)
+def timeit(f, n=30):
+    y = f(); jax.block_until_ready(y)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[0])
     t0 = time.time()
     for _ in range(n):
         y = f()
@@ -36,32 +44,36 @@ def timeit(f, n=20):
     _ = float(np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[0])
     return (time.time() - t0) / n * 1e3
 
-A_e, _ = jax.jit(lambda u: assembly.oseen_system(fe, params, u, u * 0.5))(u_adv)
-jax.block_until_ready(A_e)
+# Micro: build + apply vs quadrature apply.
+build = jax.jit(lambda f_, t_, u: tile_operator.build_tile_blocks_oseen(f_, t_, params, u))
+blk = build(fe, tiles, u_adv)
+print(f'tile fast build: {timeit(lambda: build(fe, tiles, u_adv)):.2f} ms', flush=True)
+app = jax.jit(lambda f_, t_, b_, v: tile_operator.make_tile_operator(f_, t_, b_)(v))
+print(f'tile apply: {timeit(lambda: app(fe, tiles, blk, x)):.2f} ms', flush=True)
+vb = jax.jit(lambda f_, t_, b_, v: tile_operator.make_tile_operator(f_, t_, b_).velocity_block(v))
+print(f'tile vel_block: {timeit(lambda: vb(fe, tiles, blk, x)):.2f} ms', flush=True)
+dv = jax.jit(lambda f_, t_, b_, v: tile_operator.make_tile_operator(f_, t_, b_).divergence(v))
+print(f'tile divergence: {timeit(lambda: dv(fe, tiles, blk, x)):.2f} ms', flush=True)
+qap = jax.jit(lambda f_, v: matfree.make_system_operator(f_, params, u_adv)(v))
+print(f'quadrature apply: {timeit(lambda: qap(fe, x)):.2f} ms', flush=True)
+y_q, y_t = np.asarray(qap(fe, x)), np.asarray(app(fe, tiles, blk, x))
+print(f'rel err tile vs quadrature: {np.abs(y_t - y_q).max() / np.abs(y_q).max():.2e}',
+      flush=True)
 
-# Quadrature apply baseline.
-qapply = jax.jit(lambda v: matfree.make_system_operator(fe, params, u_adv)(v))
-print(f'quadrature apply: {timeit(lambda: qapply(x)):.2f} ms', flush=True)
-asm = jax.jit(lambda u: assembly.oseen_system(fe, params, u, u * 0.5))
-print(f'oseen_system (A_e+b_e): {timeit(lambda: asm(u_adv)):.2f} ms', flush=True)
-
-for te in tile_sizes:
+# End-to-end A/B on developed-ish flow.
+for path in ('tile', 'quadrature'):
+    cfg2 = dataclasses.replace(cfg, operator_path=path)
+    s2 = solver.NavierStokesSolver(cfg2, mesh)
+    st = s2.initial_state()
     t0 = time.time()
-    tiles = tile_operator.build_tile_arrays(mesh, fe, tile_e=te)
-    host_s = time.time() - t0
-    C = fe.dim + 1
-    mb = tiles.n_tiles * (C * tiles.un) ** 2 * 4 / 1e6
-    print(f'-- tile_e={te}: {tiles.n_tiles} tiles, un={tiles.un}, A_t {mb:.0f} MB '
-          f'(host build {host_s:.1f}s)', flush=True)
-    build = jax.jit(lambda A: tile_operator.build_tile_matrices(fe, tiles, A))
-    bt = timeit(lambda: build(A_e), n=5)
-    A_t = build(A_e)
-    jax.block_until_ready(A_t)
-    op = jax.jit(lambda v, T: tile_operator.make_tile_operator(fe, tiles, T)(v))
-    at = timeit(lambda: op(x, A_t))
-    vb = jax.jit(lambda v, T: tile_operator.make_tile_operator(fe, tiles, T).velocity_block(v))
-    vt = timeit(lambda: vb(x, A_t))
-    y_q, y_t = np.asarray(qapply(x)), np.asarray(op(x, A_t))
-    err = np.abs(y_t - y_q).max() / np.abs(y_q).max()
-    print(f'   build {bt:.2f} ms, apply {at:.2f} ms, vel_block {vt:.2f} ms, '
-          f'rel err {err:.2e}', flush=True)
+    st, m = s2.run_async(60, state=st, window=8)
+    jax.block_until_ready(st.x_old)
+    _ = float(np.asarray(m.drag))
+    print(f'{path}: warm 60 steps {time.time()-t0:.1f}s', flush=True)
+    t0 = time.time()
+    st, m = s2.run_async(N, state=st, window=8)
+    jax.block_until_ready(st.x_old)
+    _ = float(np.asarray(m.drag))
+    dt_w = time.time() - t0
+    print(f'{path}: {N} steps {dt_w:.2f}s -> {N/dt_w:.2f} steps/s, '
+          f'its_last {int(m.gmres_iters)} Cd {float(m.drag):.4f}', flush=True)
