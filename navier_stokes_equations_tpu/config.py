@@ -162,6 +162,12 @@ class SolverConfig:
     # Elements per tile on the "tile" path: 32 puts a 2D tile's node-slot
     # count at exactly 128 (the f32 lane width) on the benchmark meshes.
     tile_elements: int = 32
+    # Tile-RESIDENT Krylov vectors (operator_path="tile" only): FGMRES runs
+    # on tile-local slot vectors with owner-masked inner products, so the
+    # per-iteration slot gather + accumulation shrinks to the inter-tile
+    # interface exchange (ops/tile_operator.py).  Identical mathematics —
+    # the Krylov trajectory matches the nodal path to roundoff.
+    tile_resident: bool = True
 
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"

@@ -98,6 +98,14 @@ class NavierStokesSolver:
         self.dtype = dtype
         self.fe = fe_arrays.build_fe_arrays(mesh, n_q1d=n_q1d, dtype=dtype)
         if cfg.operator_path == "tile":
+            if cfg.tile_resident and cfg.precond_vel_method not in (
+                "jacobi", "p1coarse", "p1coarse_mult"
+            ):
+                raise NotImplementedError(
+                    "tile_resident Krylov supports velocity preconditioners "
+                    f"jacobi/p1coarse/p1coarse_mult, not "
+                    f"{cfg.precond_vel_method!r}; set tile_resident=False"
+                )
             tiles = tile_operator.build_tile_arrays(
                 mesh, self.fe, tile_e=cfg.tile_elements
             )
@@ -179,9 +187,49 @@ class NavierStokesSolver:
         f_old = cfg.forcing(fe.qpoints, t - dt_att)
         return f_new, f_old
 
+    def _solve_tile_resident(
+        self, fe, pops, blk, b, g, dt, theta, x0, maxiter, rtol, diag, u_adv
+    ):
+        """Tile-RESIDENT linear solve: FGMRES on consistent tile-local slot
+        vectors with owner-masked inner products (same mathematics as the
+        nodal path; the per-iteration gather+accumulation shrinks to the
+        inter-tile interface exchange — ops/tile_operator.py)."""
+        cfg = self.cfg
+        mask = self.dirichlet.mask
+        tiles = fe.tiles
+        op_l = tile_operator.make_tile_operator_local(fe, tiles, blk)
+        b_hat = jnp.where(mask, g, b)
+        x0 = jnp.where(mask, g, x0)
+        bt = tile_operator.to_tiles(fe, tiles, b_hat)
+        xt0 = tile_operator.to_tiles(fe, tiles, x0)
+        mask_t = tile_operator.to_tiles(fe, tiles, mask)
+        diag_t = tile_operator.to_tiles(fe, tiles, diag)
+        # Pad slots and edge-slot pressure columns gather a 0 diagonal;
+        # their residual entries are identically 0 — guard the division.
+        diag_t = jnp.where(diag_t == 0, 1.0, diag_t)
+
+        apply_t = lambda z: jnp.where(mask_t, z, op_l(z))
+        precond = preconditioners.make_cahouet_chabard_local(
+            fe, tiles, pops, op_l, mask, mask_t, diag_t,
+            dt=dt, theta=theta, nu=self.nu, rho=cfg.rho,
+            vel_method=cfg.precond_vel_method,
+            p1_iters=cfg.precond_p1_iters, kp_iters=cfg.precond_kp_iters,
+            twolevel_cycles=cfg.precond_twolevel_cycles,
+            schur=cfg.precond_schur, u_adv=u_adv,
+            gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
+        )
+        res = gmres.fgmres(
+            apply_t, bt, precond=precond, x0=xt0,
+            restart=cfg.gmres_restart, maxiter=maxiter,
+            rtol=cfg.gmres_rtol if rtol is None else rtol,
+            alloc=cfg.gmres_alloc,
+            weight=tiles.wmask.reshape(-1),
+        )
+        return res._replace(x=tile_operator.from_tiles(fe, tiles, res.x))
+
     def _solve_linear(
         self, fe, pops, A_e, b, g, dt, theta, x0, maxiter, rtol=None, op=None,
-        diag=None, nodeblock_inv=None, u_adv=None,
+        diag=None, nodeblock_inv=None, u_adv=None, tile_blk=None,
     ):
         """Constrain, precondition and solve one linear system.
 
@@ -189,8 +237,15 @@ class NavierStokesSolver:
         every Krylov application goes through it.  ``diag``: precomputed
         global matrix diagonal; when given together with ``op``, the element
         matrices ``A_e`` are not needed at all (linearized fast path).
+        ``tile_blk``: tile matrices — with cfg.tile_resident the whole
+        Krylov loop then runs in tile-local space.
         """
         cfg = self.cfg
+        if tile_blk is not None and cfg.tile_resident:
+            return self._solve_tile_resident(
+                fe, pops, tile_blk, b, g, dt, theta, x0, maxiter, rtol,
+                diag, u_adv,
+            )
         mask = self.dirichlet.mask
         n_u = fe.n_udofs
         if op is None:
@@ -351,7 +406,7 @@ class NavierStokesSolver:
             res = self._solve_linear(
                 fe, pops, None, b, g, dt_att, th, x_start,
                 cfg.gmres_maxiter_linear, op=op, diag=diag,
-                nodeblock_inv=nodeblock_inv, u_adv=u_star,
+                nodeblock_inv=nodeblock_inv, u_adv=u_star, tile_blk=blk,
             )
         else:
             A_e, b_e = assembly.oseen_system(fe, params, u_star, u_old, f_new, f_old)
@@ -453,6 +508,7 @@ class NavierStokesSolver:
         op = None
         diag = None
         u_x, _ = fe.split(x)
+        blk = None
         if quad:
             # Ad IS the global Jacobian diagonal (newton_rhs_diag).
             op = matfree.make_system_operator(fe, params, u_x, newton_reaction=True)
@@ -471,7 +527,7 @@ class NavierStokesSolver:
             jnp.zeros_like(x), cfg.gmres_maxiter_newton,
             rtol=cfg.gmres_rtol_newton, op=op,
             diag=diag, u_adv=u_x,
-            nodeblock_inv=nodeblock_inv,
+            nodeblock_inv=nodeblock_inv, tile_blk=blk,
         )
         lin_ok = sol.converged
         d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))

@@ -68,10 +68,25 @@ class TileArrays:
     E: Any  # (NT, TE*n2, un) one-hot slot matrix of each element node
     E_p: Any  # (NT, TE*n1, un_p) one-hot vertex-slot matrix
     acc_map: Any  # tuple of bucketed maps: (NT*un,) slots -> [0, n_vnodes)
+    # Tile-RESIDENT Krylov support.  Slots are grouped per tile as
+    # [vertex-interface | vertex-interior | edge-interface | edge-interior]
+    # (group widths w_vi / un_p-w_vi / w_ei / rest, each padded mod 8), so
+    # the pressure slots are the un_p prefix and the INTERFACE slots (nodes
+    # shared by >=2 tiles) form two contiguous slabs: [0, w_vi) and
+    # [un_p, un_p + w_ei).  After a tile matvec, interior slots already
+    # hold the assembled value; only the two interface slabs exchange.
+    if_acc: Any  # bucketed maps: (NT*w_if,) slab slots -> [0, n_ifn)
+    if_back: Any  # (NT, w_if) int32 -> [0, n_ifn]; pad = n_ifn
+    p_acc: Any  # bucketed maps: (NT*un_p,) vertex slots -> [0, n_p)
+    own_slot: Any  # (n_vnodes,) int32 owner slot in the flat (NT*un) space
+    wmask: Any  # (NT, un, dim+1) 0/1 owner weights for inner products
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
     tile_e: int = dataclasses.field(metadata=dict(static=True))
     un: int = dataclasses.field(metadata=dict(static=True))
     un_p: int = dataclasses.field(metadata=dict(static=True))
+    w_vi: int = dataclasses.field(metadata=dict(static=True))
+    w_ei: int = dataclasses.field(metadata=dict(static=True))
+    n_ifn: int = dataclasses.field(metadata=dict(static=True))
     # Device-built TileStatics for the fast Oseen build (attached by the
     # solver via dataclasses.replace after construction); None until then.
     statics: Any = None
@@ -157,24 +172,98 @@ def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32) -> TileArrays:
     nodes_pad = np.concatenate([e2, np.zeros((1, n2), e2.dtype)])  # sentinel row
     tiled_nodes = nodes_pad[elem_order.reshape(nt, tile_e)]  # (nt, TE, n2)
 
-    # Vertex node ids < nvert < edge-midpoint ids, so np.unique puts the
-    # tile's vertex slots first — pressure then lives on slots [0, un_p).
+    # Vertex node ids < nvert < edge-midpoint ids (taylor_hood synthesis).
     uniq = [np.unique(t) for t in tiled_nodes]
-    nvert_t = [int((u < nvert).sum()) for u in uniq]
-    un = -(-max(len(u) for u in uniq) // 8) * 8
-    un_p = -(-max(nvert_t) // 8) * 8
+    # Interface nodes appear in >= 2 tiles.
+    cnt = np.zeros(nv + 1, np.int64)
+    for u in uniq:
+        cnt[u] += 1
+    interface = cnt >= 2
+
+    def r8(x):
+        return -(-max(x) // 8) * 8 if x else 8
+
+    groups = []  # per tile: (vi, vn, ei, en) node-id arrays
+    for u in uniq:
+        isv = u < nvert
+        isi = interface[u]
+        groups.append((u[isv & isi], u[isv & ~isi], u[~isv & isi], u[~isv & ~isi]))
+    w_vi = r8([len(g[0]) for g in groups])
+    w_vn = r8([len(g[1]) for g in groups])
+    w_ei = r8([len(g[2]) for g in groups])
+    w_en = r8([len(g[3]) for g in groups])
+    un_p = w_vi + w_vn
+    un = un_p + w_ei + w_en
+    starts = (0, w_vi, un_p, un_p + w_ei)
+
     tile_nodes = np.full((nt, un), nv, np.int32)
     loc = np.zeros((nt, tile_e, n2), np.int32)
-    for t in range(nt):
-        u = uniq[t]
-        tile_nodes[t, : len(u)] = u
-        loc[t] = np.searchsorted(u, tiled_nodes[t])
+    for t, (u, g) in enumerate(zip(uniq, groups)):
+        slot_of = np.empty(len(u), np.int32)
+        for gi, part in enumerate(g):
+            s = starts[gi]
+            tile_nodes[t, s : s + len(part)] = part
+            slot_of[np.searchsorted(u, part)] = s + np.arange(len(part))
+        loc[t] = slot_of[np.searchsorted(u, tiled_nodes[t])]
     # Per-element slot maps are injective (distinct nodes -> distinct
     # slots); sentinel elements (node row 0) land on slot 0 with zero
     # matrix blocks, which is harmless.
 
+    # --- interface exchange maps (tile-resident Krylov) -----------------
+    # Flat slab space: per tile, rows [0, w_vi) then [un_p, un_p + w_ei).
+    w_if = w_vi + w_ei
+    slab_nodes = np.concatenate(
+        [tile_nodes[:, :w_vi], tile_nodes[:, un_p : un_p + w_ei]], axis=1
+    )  # (nt, w_if); pad slots carry nv
+    if_ids = np.flatnonzero(interface[:nv])  # global node ids, vertices first
+    n_ifn = len(if_ids)
+    n_if_vert = int((if_ids < nvert).sum())
+    # Dense renumber: global node id -> interface index (vertices lead).
+    if_index = np.full(nv + 1, n_ifn, np.int64)
+    if_index[if_ids] = np.arange(n_ifn)
+    slab_targets = if_index[slab_nodes]  # (nt, w_if) -> [0, n_ifn]; pad = n_ifn
+    if_parts = _bucketed_transpose_map(
+        slab_targets, n_ifn + 1, [n_if_vert, n_ifn]
+    )
+    rows_if = 0
+    if_acc = []
+    for p in if_parts:
+        if rows_if >= n_ifn:
+            break
+        if_acc.append(p)
+        rows_if += p.shape[0]
+    assert rows_if == n_ifn
+
+    # Pressure-slab accumulate: (nt*un_p) vertex slots -> [0, n_p).
+    p_targets = np.where(
+        tile_nodes[:, :un_p] < nvert, tile_nodes[:, :un_p], nvert
+    ).astype(np.int64)
+    p_parts = _bucketed_transpose_map(p_targets, nvert + 1, [nvert])
+    rows_p = 0
+    p_acc = []
+    for p in p_parts:
+        if rows_p >= nvert:
+            break
+        p_acc.append(p)
+        rows_p += p.shape[0]
+    assert rows_p == nvert
+
+    # Owner slot (first occurrence) of every node in the flat (nt*un) space.
+    flat_nodes = tile_nodes.reshape(-1)
+    order_seen = np.argsort(flat_nodes, kind="stable")
+    sorted_nodes = flat_nodes[order_seen]
+    starts_u = np.searchsorted(sorted_nodes, np.arange(nv))
+    own_slot = order_seen[starts_u].astype(np.int32)
+
     # One-hot slot matrices (static; the build contracts against them).
     dt = np.float64 if fe.jxw.dtype == jnp.float64 else np.float32
+
+    # Owner weights: 1 at the owner slot per live (node, component).
+    dim = fe.dim
+    wmask = np.zeros((nt * un, dim + 1), dt)
+    wmask[own_slot, :dim] = 1.0
+    wmask[own_slot[:nvert], dim] = 1.0  # pressure lives on vertex nodes
+    wmask = wmask.reshape(nt, un, dim + 1)
     E = (loc.reshape(nt, tile_e * n2)[:, :, None] == np.arange(un)).astype(dt)
     loc_p = loc[:, :, :n1]  # vertex slots of each element (< un_p)
     E_p = (loc_p.reshape(nt, tile_e * n1)[:, :, None] == np.arange(un_p)).astype(dt)
@@ -206,10 +295,18 @@ def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32) -> TileArrays:
         E=jnp.asarray(E),
         E_p=jnp.asarray(E_p),
         acc_map=tuple(jnp.asarray(g) for g in kept),
+        if_acc=tuple(jnp.asarray(g) for g in if_acc),
+        if_back=jnp.asarray(slab_targets.astype(np.int32)),
+        p_acc=tuple(jnp.asarray(g) for g in p_acc),
+        own_slot=jnp.asarray(own_slot),
+        wmask=jnp.asarray(wmask),
         n_tiles=nt,
         tile_e=tile_e,
         un=un,
         un_p=un_p,
+        w_vi=w_vi,
+        w_ei=w_ei,
+        n_ifn=n_ifn,
     )
 
 
@@ -428,4 +525,113 @@ def make_tile_operator(fe: FEArrays, tiles: TileArrays, blocks: TileBlocks):
 
     apply.velocity_block = apply_velocity_block
     apply.divergence = apply_divergence
+    return apply
+
+
+# --- tile-RESIDENT Krylov representation ----------------------------------
+#
+# The gather + accumulation bracketing every tile-operator application
+# costs ~7 ns per padded slot EACH WAY (2 x nt*un slots).  Keeping the
+# Krylov vectors in the tile-local slot space removes it: interior slots
+# (nodes private to one tile) already hold assembled values after the
+# matvec, and only the two INTERFACE slabs exchange sums (~1/3 of the
+# slots).  FGMRES runs on flat (nt*un*(dim+1),) vectors with the 0/1 owner
+# mask as the inner-product weight (gmres.fgmres(weight=...)) — with
+# consistent vectors this reproduces the nodal Krylov trajectory exactly.
+# This is the halo layout's owned/ghost design at tile granularity
+# (reference analog: the distributed Trilinos vectors' owned/ghosted maps,
+# NavierStokes.cpp:96-101).
+
+
+def to_tiles(fe: FEArrays, tiles: TileArrays, x):
+    """Global nodal vector -> consistent flat tile-local (nt*un*(dim+1),)."""
+    dim, nv, n_p, n_u = fe.dim, fe.n_vnodes, fe.n_p, fe.n_udofs
+    u = x[:n_u].reshape(dim, nv).T
+    p = jnp.pad(x[n_u:], (0, nv - n_p))
+    up = jnp.concatenate([u, p[:, None]], axis=1)
+    upz = jnp.concatenate([up, jnp.zeros((1, dim + 1), x.dtype)])
+    return upz[tiles.tile_nodes].reshape(-1)
+
+
+def from_tiles(fe: FEArrays, tiles: TileArrays, xt):
+    """Consistent flat tile-local -> global nodal vector (owner slots)."""
+    dim, n_p = fe.dim, fe.n_p
+    rows = xt.reshape(-1, dim + 1)[tiles.own_slot]  # (n_vnodes, dim+1)
+    return jnp.concatenate([rows[:, :dim].T.reshape(-1), rows[:n_p, dim]])
+
+
+def exchange(tiles: TileArrays, rows):
+    """(nt, un, k) per-tile PARTIAL rows -> consistent rows.
+
+    Interface slots (two contiguous slabs) are summed across tiles and
+    written back to every occurrence; interior slots pass through (their
+    tile's contribution IS the assembled value)."""
+    nt, un_p, w_vi, w_ei = tiles.n_tiles, tiles.un_p, tiles.w_vi, tiles.w_ei
+    k = rows.shape[-1]
+    slab = jnp.concatenate(
+        [rows[:, :w_vi], rows[:, un_p : un_p + w_ei]], axis=1
+    ).reshape(nt * (w_vi + w_ei), k)
+    z = jnp.concatenate([slab, jnp.zeros((1, k), rows.dtype)])
+    sums = jnp.concatenate([z[g].sum(axis=1) for g in tiles.if_acc])
+    sums = jnp.concatenate([sums, jnp.zeros((1, k), rows.dtype)])
+    back = sums[tiles.if_back]  # (nt, w_if, k); pad slots -> 0
+    rows = rows.at[:, :w_vi].set(back[:, :w_vi])
+    rows = rows.at[:, un_p : un_p + w_ei].set(back[:, w_vi:])
+    return rows
+
+
+def accumulate_p_slab(fe: FEArrays, tiles: TileArrays, y_p):
+    """(nt, un_p) per-tile pressure-row partials -> (n_p,) nodal."""
+    flat = y_p.reshape(-1, 1)
+    z = jnp.concatenate([flat, jnp.zeros((1, 1), y_p.dtype)])
+    return jnp.concatenate([z[g].sum(axis=1) for g in tiles.p_acc])[:, 0]
+
+
+def gather_p_slab(fe: FEArrays, tiles: TileArrays, p):
+    """(n_p,) nodal pressure -> (nt, un_p) consistent vertex-slab values."""
+    pz = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+    idx = jnp.minimum(tiles.tile_nodes[:, : tiles.un_p], fe.n_p)
+    return pz[idx]
+
+
+def make_tile_operator_local(fe: FEArrays, tiles: TileArrays, blocks: TileBlocks):
+    """Tile-space operator: consistent flat input -> consistent flat output,
+    with ``.velocity_block`` (tile-space) and ``.divergence`` (-> nodal
+    (n_p,), feeding the nodal Schur solve) attributes."""
+    dim = fe.dim
+    C = dim + 1
+    nt, un, un_p = tiles.n_tiles, tiles.un, tiles.un_p
+    S, V, G, H = blocks.S, blocks.V, blocks.G, blocks.H
+
+    def vel_rows(u_t):
+        if V is None:
+            return jnp.einsum("tuv,tvd->tud", S, u_t)
+        return jnp.einsum("tijuv,tvj->tui", V, u_t)
+
+    def apply(xt):
+        x_t = xt.reshape(nt, un, C)
+        u_t, p_t = x_t[:, :, :dim], x_t[:, :un_p, dim]
+        y_u = vel_rows(u_t) + jnp.einsum("tdvc,tc->tvd", G, p_t)
+        y_p = jnp.einsum("tdcv,tvd->tc", H, u_t)
+        rows = jnp.concatenate(
+            [y_u, jnp.pad(y_p, ((0, 0), (0, un - un_p)))[:, :, None]], axis=2
+        )
+        return exchange(tiles, rows).reshape(-1)
+
+    def velocity_block(xt):
+        """Velocity rows only; the pressure column of the result is 0."""
+        u_t = xt.reshape(nt, un, C)[:, :, :dim]
+        y_u = exchange(tiles, vel_rows(u_t))
+        return jnp.concatenate(
+            [y_u, jnp.zeros((nt, un, 1), xt.dtype)], axis=2
+        ).reshape(-1)
+
+    def divergence(xt):
+        """Pressure rows B u as a NODAL (n_p,) vector (Schur input)."""
+        u_t = xt.reshape(nt, un, C)[:, :, :dim]
+        y_p = jnp.einsum("tdcv,tvd->tc", H, u_t)
+        return accumulate_p_slab(fe, tiles, y_p)
+
+    apply.velocity_block = velocity_block
+    apply.divergence = divergence
     return apply

@@ -48,6 +48,7 @@ def fgmres(
     atol=None,
     rtol=1e-2,
     alloc: int | None = None,
+    weight: jnp.ndarray | None = None,
 ) -> GmresResult:
     """Solve A x = b with right-preconditioned FGMRES(restart).
 
@@ -59,6 +60,13 @@ def fgmres(
     step scales with the allocation even when only k << m rows are live.
     Solves needing more than ``alloc`` steps restart there (same
     convergence guarantees, slightly different trajectory).
+
+    ``weight``: optional diagonal weight for every inner product / norm
+    (<u, v> = sum weight * u * v).  Redundant representations — e.g.
+    tile-local slot vectors, where each global dof appears in several
+    slots — pass the 0/1 owner mask so duplicated entries count once;
+    with consistent vectors this reproduces the nodal Krylov trajectory
+    exactly.
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -68,8 +76,14 @@ def fgmres(
     if precond is None:
         precond = lambda v: v
     x = jnp.zeros_like(b) if x0 is None else x0
+    if weight is None:
+        wnorm = jnp.linalg.norm
+        wdot = lambda v: v
+    else:
+        wnorm = lambda v: jnp.sqrt(jnp.sum(weight * v * v))
+        wdot = lambda v: weight * v
 
-    b_norm = jnp.linalg.norm(b)
+    b_norm = wnorm(b)
     tol = rtol * b_norm
     if atol is not None:
         tol = jnp.maximum(tol, atol)
@@ -82,7 +96,7 @@ def fgmres(
     def restart_body(outer_carry):
         x, total_it, res, _ = outer_carry
         r = b - apply_a(x)
-        beta = jnp.linalg.norm(r)
+        beta = wnorm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
         Z = jnp.zeros((m, n), dtype)
@@ -104,12 +118,12 @@ def fgmres(
 
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
             # CGS2: two full-basis projections (big matmuls on the MXU).
-            h1 = (V @ w) * mask
+            h1 = (V @ wdot(w)) * mask
             w = w - V.T @ h1
-            h2 = (V @ w) * mask
+            h2 = (V @ wdot(w)) * mask
             w = w - V.T @ h2
             h = h1 + h2
-            wn = jnp.linalg.norm(w)
+            wn = wnorm(w)
             col = h.at[k + 1].set(wn)
             V = V.at[k + 1].set(jnp.where(wn > 0, w / jnp.where(wn > 0, wn, 1.0), w))
 

@@ -524,6 +524,25 @@ def make_cahouet_chabard(
         t = r[n_u:] - div_apply(z_u)
 
         # --- step 3: Schur action ----------------------------------------
+        z_p = schur_act(t)
+
+        return z_u.at[n_u:].set(z_p)
+
+    schur_act = make_schur_action(
+        fe, pops, kp_solve, dt=dt, theta=theta, nu=nu, rho=rho,
+        schur=schur, uadv_q=uadv_q,
+    )
+    return precond
+
+
+def make_schur_action(
+    fe: FEArrays, pops: PressureOperators, kp_solve, *, dt, theta, nu, rho,
+    schur: str = "cc", uadv_q=None,
+) -> Callable:
+    """Return schur(t) -> z_p, the approximate -S^{-1} t (nodal pressure
+    space).  Shared by the nodal and tile-resident preconditioners."""
+
+    def schur_act(t):
         t_free = jnp.where(pops.pin_mask, 0.0, t)
         kp_inv_t = kp_solve(t_free)
         if schur == "pcd":
@@ -552,8 +571,128 @@ def make_cahouet_chabard(
             z_p = -jnp.where(pops.pin_mask, 0.0, w) / pops.mp_lumped
         else:
             z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
-        z_p = jnp.where(pops.pin_mask, t, z_p)
+        return jnp.where(pops.pin_mask, t, z_p)
 
-        return z_u.at[n_u:].set(z_p)
+    return schur_act
+
+
+def make_cahouet_chabard_local(
+    fe: FEArrays,
+    tiles,  # ops.tile_operator.TileArrays
+    pops: PressureOperators,
+    op_local,  # tile-space operator (make_tile_operator_local)
+    mask,  # (n_dofs,) nodal Dirichlet mask
+    mask_t,  # flat tile-local Dirichlet mask (to_tiles of mask)
+    diag_t,  # flat tile-local matrix diagonal (to_tiles of the global diag)
+    *,
+    dt,
+    theta,
+    nu,
+    rho,
+    vel_method: str = "p1coarse_mult",
+    p1_iters: int = 2,
+    kp_iters: int = 30,
+    twolevel_cycles: int = 1,
+    schur: str = "cc",
+    u_adv=None,
+    gd_gamma=None,
+) -> Callable:
+    """Tile-RESIDENT Cahouet-Chabard: precond(r) on consistent flat
+    tile-local vectors (ops/tile_operator.py docstring).
+
+    Identical mathematics to :func:`make_cahouet_chabard` — the velocity
+    two-level solve, divergence and Schur action are the same operators;
+    only the vector representation differs (the Schur core and the P1
+    coarse solve stay nodal — their spaces are small).  Supports the
+    measured-best velocity smoothers (jacobi / p1coarse / p1coarse_mult).
+    """
+    from ..ops import tile_operator as tileop
+
+    if vel_method not in ("jacobi", "p1coarse", "p1coarse_mult"):
+        raise NotImplementedError(
+            f"tile-resident Krylov supports jacobi/p1coarse/p1coarse_mult, "
+            f"not {vel_method!r}"
+        )
+    dim, C = fe.dim, fe.dim + 1
+    nt, un, un_p = tiles.n_tiles, tiles.un, tiles.un_p
+    n_p, n_u, nv = fe.n_p, fe.n_udofs, fe.n_vnodes
+
+    kp_solve = make_kp_solve(
+        fe, pops, kp_iters=kp_iters, twolevel_cycles=twolevel_cycles
+    )
+    uadv_q = None
+    if schur == "pcd":
+        if u_adv is None:
+            raise ValueError("schur='pcd' needs the advection field u_adv")
+        uadv_q = jnp.einsum("qa,ead->eqd", fe.p2_val, u_adv[fe.elems_p2])
+    schur_act = make_schur_action(
+        fe, pops, kp_solve, dt=dt, theta=theta, nu=nu, rho=rho,
+        schur=schur, uadv_q=uadv_q,
+    )
+
+    coarse_solve = None
+    vmask2 = None
+    if vel_method in ("p1coarse", "p1coarse_mult"):
+        if not pops.p1_coarse:
+            raise ValueError(
+                "vel_method='p1coarse' needs build_pressure_operators(..., "
+                "p1_coarse=True)"
+            )
+        coarse_solve = make_p1_coarse_solve(
+            fe, pops, rho / dt, theta * nu, iters=p1_iters, gamma=gd_gamma
+        )
+        vmask2 = mask[:n_u].reshape(dim, nv).T
+
+    def vel_apply_t(z):
+        """Identity on constrained rows, velocity block elsewhere (the
+        tile-space mirror of the nodal vel_apply wrapper)."""
+        zf = jnp.where(mask_t, 0.0, z)
+        y = op_local.velocity_block(zf)
+        return jnp.where(mask_t, z, y)
+
+    def zero_p_col(zf):
+        return zf.reshape(nt, un, C).at[:, :, dim].set(0.0).reshape(-1)
+
+    def precond(r):
+        r_rows = r.reshape(nt, un, C)
+        r_nodal = r.reshape(-1, C)[tiles.own_slot]  # (n_vnodes, C)
+        r_uf = zero_p_col(r)
+
+        # --- step 1: approximate velocity solve -------------------------
+        if vel_method in ("p1coarse", "p1coarse_mult"):
+            rf2 = jnp.where(vmask2, 0.0, r_nodal[:, :dim])
+            z1 = coarse_solve(p1_restrict(pops, rf2))
+            zc2 = jnp.where(vmask2, 0.0, p1_prolong(pops, z1))
+            zc_t = jnp.concatenate(
+                [zc2, jnp.zeros((1, dim), zc2.dtype)]
+            )[tiles.tile_nodes]  # (nt, un, dim)
+            zc_f = jnp.concatenate(
+                [zc_t, jnp.zeros((nt, un, 1), zc2.dtype)], axis=2
+            ).reshape(-1)
+            if vel_method == "p1coarse_mult":
+                resid = zero_p_col(r_uf - vel_apply_t(zc_f))
+                z_u = zc_f + resid / diag_t
+            else:
+                z_u = r_uf / diag_t + zc_f
+        else:
+            z_u = r_uf / diag_t
+        z_u = zero_p_col(z_u)
+
+        # --- step 2: t = r_p - B z_u (nodal) ----------------------------
+        t = r_nodal[:n_p, dim] - op_local.divergence(
+            jnp.where(mask_t, 0.0, z_u)
+        )
+
+        # --- step 3: Schur action (nodal) -> back to the vertex slab ----
+        z_p = schur_act(t)
+        zp_t = tileop.gather_p_slab(fe, tiles, z_p)  # (nt, un_p)
+        rows = jnp.concatenate(
+            [
+                z_u.reshape(nt, un, C)[:, :, :dim],
+                jnp.pad(zp_t, ((0, 0), (0, un - un_p)))[:, :, None],
+            ],
+            axis=2,
+        )
+        return rows.reshape(-1)
 
     return precond

@@ -149,6 +149,99 @@ def test_blocks_diag_matches_element_diag(fixture_mesh_fe):
     np.testing.assert_allclose(d_blocks, d_elem, atol=1e-13 * np.abs(d_elem).max())
 
 
+def test_tile_local_representation(fixture_mesh_fe):
+    """Consistency round trip + tile-local operator == nodal tile operator."""
+    mesh, fe = fixture_mesh_fe
+    rng = np.random.default_rng(26)
+    params = assembly.StepParams(
+        dt=0.05, theta=0.6, nu=0.01, rho=1.0, gamma=0.1, use_supg=True
+    )
+    u_adv = jnp.asarray(rng.normal(size=(fe.n_vnodes, fe.dim)) * 0.3)
+    x = jnp.asarray(rng.normal(size=fe.n_dofs))
+    tiles = tile_operator.build_tile_arrays(mesh, fe, tile_e=16)
+
+    # Round trip and owner-mask norm.
+    xt = tile_operator.to_tiles(fe, tiles, x)
+    np.testing.assert_array_equal(
+        np.asarray(tile_operator.from_tiles(fe, tiles, xt)), np.asarray(x)
+    )
+    w = tiles.wmask.reshape(-1)
+    np.testing.assert_allclose(
+        float(jnp.sum(w * xt * xt)), float(jnp.vdot(x, x)), rtol=1e-12
+    )
+
+    dvv, cvv, avp, apv, _ = assembly.oseen_blocks(fe, params, u_adv, u_adv)
+    blk = tile_operator.build_tile_blocks(fe, tiles, dvv, cvv, avp, apv)
+    op_n = tile_operator.make_tile_operator(fe, tiles, blk)
+    op_l = tile_operator.make_tile_operator_local(fe, tiles, blk)
+
+    y_n = np.asarray(op_n(x))
+    y_l = np.asarray(tile_operator.from_tiles(fe, tiles, op_l(xt)))
+    scale = np.abs(y_n).max()
+    np.testing.assert_allclose(y_l, y_n, atol=1e-12 * scale)
+
+    # The local result must be CONSISTENT (all slots of a node agree).
+    rows = np.asarray(op_l(xt)).reshape(-1, fe.dim + 1)
+    nodes = np.asarray(tiles.tile_nodes).reshape(-1)
+    for comp in range(fe.dim):
+        per_node = {}
+        for s, nd in enumerate(nodes):
+            if nd < fe.n_vnodes:
+                per_node.setdefault(nd, []).append(rows[s, comp])
+        spread = max(
+            (max(v) - min(v)) for v in per_node.values() if len(v) > 1
+        )
+        assert spread < 1e-11 * scale
+
+    # divergence -> nodal pressure rows.
+    d_n = np.asarray(op_n.divergence(x.at[fe.n_udofs:].set(0.0)))
+    d_l = np.asarray(op_l.divergence(tile_operator.to_tiles(
+        fe, tiles, x.at[fe.n_udofs:].set(0.0))))
+    np.testing.assert_allclose(d_l, d_n, atol=1e-12 * np.abs(d_n).max())
+
+
+def test_fgmres_weighted_matches_unweighted():
+    """weight=1 reproduces the plain trajectory bit-for-bit."""
+    from navier_stokes_equations_tpu.solvers import gmres
+
+    rng = np.random.default_rng(5)
+    n = 40
+    A = jnp.asarray(rng.normal(size=(n, n)) + 4 * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    r1 = gmres.fgmres(lambda v: A @ v, b, rtol=1e-10, maxiter=40)
+    r2 = gmres.fgmres(
+        lambda v: A @ v, b, rtol=1e-10, maxiter=40, weight=jnp.ones(n)
+    )
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    assert int(r1.iterations) == int(r2.iterations)
+
+
+def test_solver_tile_resident_matches_nodal(mesh2d_path):
+    """tile_resident=True reproduces the nodal tile path's physics."""
+    import dataclasses
+
+    from navier_stokes_equations_tpu.config import NonlinearMethod
+    from navier_stokes_equations_tpu.models import solver, test_cases
+
+    res = {}
+    for resident in (False, True):
+        cfg = dataclasses.replace(
+            test_cases.make("2D-2", deltat=0.01, nm=NonlinearMethod.LINEARIZED),
+            dtype="float64", operator_path="tile", tile_resident=resident,
+        )
+        s = solver.NavierStokesSolver(cfg, mesh2d_path)
+        _, hist = s.run(n_steps=6)
+        assert all(h["converged"] for h in hist)
+        res[resident] = np.array(
+            [[h["Cd"], h["Cl"], h["DeltaP"], h["gmres_iters"]] for h in hist]
+        )
+    err = np.abs(res[True][:, :3] - res[False][:, :3]).max()
+    scale = np.abs(res[False][:, :3]).max()
+    assert err < 1e-8 * scale
+    # Same Krylov trajectory => identical iteration counts.
+    np.testing.assert_array_equal(res[True][:, 3], res[False][:, 3])
+
+
 def test_solver_tile_path_matches_quadrature(mesh2d_path):
     """Short 2D-2 trajectory: tile operator path tracks the quadrature path.
 
