@@ -54,6 +54,7 @@ def main():
         dtype="float32",
         operator_path=os.environ.get("BENCH_OPERATOR_PATH", "tile"),
         tile_elements=int(os.environ.get("BENCH_TILE_E", "16")),
+        tile_resident=os.environ.get("BENCH_TILE_RESIDENT", "0") == "1",
     )
     s = solver.NavierStokesSolver(cfg, mesh)
 

@@ -166,8 +166,13 @@ class SolverConfig:
     # on tile-local slot vectors with owner-masked inner products, so the
     # per-iteration slot gather + accumulation shrinks to the inter-tile
     # interface exchange (ops/tile_operator.py).  Identical mathematics —
-    # the Krylov trajectory matches the nodal path to roundoff.
-    tile_resident: bool = True
+    # the Krylov trajectory matches the nodal path to roundoff.  Measured
+    # SLOWER on the bench config (9.0 vs 11.6 steps/s, TPU v5e) and pays a
+    # ~25-minute first compile: the Krylov vector ops run on nt*un*(dim+1)
+    # slots (~2.6x the nodal length), which costs more than the removed
+    # gather bracketing saves at ~6 its/step.  Kept as an option — the
+    # tradeoff reverses when iteration counts are high.
+    tile_resident: bool = False
 
     # Numerics
     dtype: str = "float32"  # "float32" | "float64"
