@@ -47,6 +47,9 @@ def main():
     # 2D refinement ladder (analog of mesh-2D / -40 / -100 / -200).
     write("mesh-2D-gen.msh", generators.channel_cylinder_2d(h_far=0.05, h_cyl=0.005))
     write("mesh-2D-gen-fine.msh", generators.channel_cylinder_2d(h_far=0.03, h_cyl=0.0025))
+    # Corridor-closure rung (~855k dofs): the 580k rung leaves Dp 1.2% low
+    # and Cd_max 1% high vs the DFG corridor (validation/README.md).
+    write("mesh-2D-gen-xfine.msh", generators.channel_cylinder_2d(h_far=0.026, h_cyl=0.0012))
     # 3D ladder (analog of mesh-3D-5 / -10).
     write("mesh-3D-coarse.msh", generators.channel_cylinder_3d(h_far=0.1, h_cyl=0.03, n_layers=5))
     write("mesh-3D-medium.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=8))
