@@ -66,6 +66,10 @@ def parse_args(argv=None):
         help="Krylov operator evaluation (config.operator_path)",
     )
     p.add_argument(
+        "--tile-elements", type=int, default=None,
+        help="elements per tile on the tile operator path (config.tile_elements)",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -116,6 +120,8 @@ def main(argv=None):
         over["precond_schur"] = args.schur
     if args.operator_path:
         over["operator_path"] = args.operator_path
+    if args.tile_elements is not None:
+        over["tile_elements"] = args.tile_elements
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)
