@@ -20,19 +20,29 @@ jax.config.update("jax_enable_x64", True)
 from navier_stokes_equations_tpu.mesh import taylor_hood
 from navier_stokes_equations_tpu.models import solver, test_cases
 
-mesh = taylor_hood.load("/root/reference/meshes/mesh-2D-100.msh")
-cfg = dataclasses.replace(
-    test_cases.make("2D-2"), dtype="float64", gmres_rtol=1e-6,
-    precond_schur_dense_max=0,
-)
-s = solver.NavierStokesSolver(cfg, mesh)
-st, hist = s.run(n_steps=10)
-out = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "validation", "ci_2d2_mesh100_f64_10steps.txt",
-)
-with open(out, "w") as f:
-    f.write("Time\tCd\tCl\tDeltaP\n")
-    for h in hist:
-        f.write(f"{h['time']:.17g}\t{h['Cd']:.17g}\t{h['Cl']:.17g}\t{h['DeltaP']:.17g}\n")
-print("wrote", out)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen(case, mesh_path, out_name):
+    mesh = taylor_hood.load(mesh_path)
+    cfg = dataclasses.replace(
+        test_cases.make(case), dtype="float64", gmres_rtol=1e-6,
+        precond_schur_dense_max=0,
+    )
+    s = solver.NavierStokesSolver(cfg, mesh)
+    st, hist = s.run(n_steps=10)
+    out = os.path.join(REPO, "validation", out_name)
+    with open(out, "w") as f:
+        f.write("Time\tCd\tCl\tDeltaP\n")
+        for h in hist:
+            f.write(
+                f"{h['time']:.17g}\t{h['Cd']:.17g}\t{h['Cl']:.17g}\t{h['DeltaP']:.17g}\n"
+            )
+    print("wrote", out)
+
+
+gen("2D-2", "/root/reference/meshes/mesh-2D-100.msh", "ci_2d2_mesh100_f64_10steps.txt")
+# 3D/SUPG gate: the 2D gate cannot catch drift in the SUPG strong-residual
+# terms, the tet quadrature path, or the 3D functionals (F_z drag).
+gen("3D-2Z", os.path.join(REPO, "meshes/mesh-3D-coarse.msh"),
+    "ci_3d2z_coarse_f64_10steps.txt")
