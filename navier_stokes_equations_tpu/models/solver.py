@@ -859,6 +859,8 @@ class NavierStokesSolver:
         n = n_steps if n_steps is not None else self.n_steps()
         history = []
         step_no = int(state.step)
+        frozen_streak = 0
+        frozen_warned = False
         for _ in range(n):
             t0 = _time.perf_counter()
             # step() already pulled every metric in ONE stacked transfer.
@@ -887,6 +889,29 @@ class NavierStokesSolver:
 
                 u_mean = _mvf(self.cfg.dim) * u_peak
                 rec["re_instant"] = u_mean * 0.1 / self.nu
+            # Freeze guard: with warm starts, consecutive 0-iteration solves
+            # mean the previous solution already satisfies rtol*||b|| and
+            # the trajectory is coasting — legitimate at a converged steady
+            # state, but at large n_dofs it can silently accumulate O(1)
+            # solution error (measured on mesh-3D-xfine: spurious Cd
+            # plateau 6.69 vs ~2.9; docs/DESIGN.md "accuracy cliff").
+            if (
+                self.cfg.nonlinear_method != NonlinearMethod.NEWTON
+                and self.cfg.gmres_warm_start
+            ):
+                frozen_streak = frozen_streak + 1 if rec["gmres_iters"] == 0 else 0
+                if frozen_streak >= 5 and not frozen_warned:
+                    frozen_warned = True
+                    print(
+                        f"WARNING: {frozen_streak} consecutive 0-iteration "
+                        "steps — the warm start satisfies gmres_rtol*||b|| "
+                        "and the state is frozen.  If the flow is not at a "
+                        "converged steady state, the trace is coasting on "
+                        "tolerance error: tighten --rtol or use "
+                        "--no-warm-start (see docs/DESIGN.md accuracy "
+                        "cliff).",
+                        flush=True,
+                    )
             history.append(rec)
             if logger is not None:
                 logger.log_step(rec)
