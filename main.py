@@ -61,6 +61,14 @@ def parse_args(argv=None):
         help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
     )
     p.add_argument(
+        "--kp-iters", type=int, default=None,
+        help="CG/smoother budget of the K_p Schur solve (config.precond_kp_iters)",
+    )
+    p.add_argument(
+        "--twolevel-cycles", type=int, default=None,
+        help="V-cycles of the aggregation two-grid Schur (config.precond_twolevel_cycles)",
+    )
+    p.add_argument(
         "--operator-path", default=None,
         choices=["quadrature", "tile", "element"],
         help="Krylov operator evaluation (config.operator_path)",
@@ -118,6 +126,10 @@ def main(argv=None):
         over["precond_p1_iters"] = args.p1_iters
     if args.schur:
         over["precond_schur"] = args.schur
+    if args.kp_iters is not None:
+        over["precond_kp_iters"] = args.kp_iters
+    if args.twolevel_cycles is not None:
+        over["precond_twolevel_cycles"] = args.twolevel_cycles
     if args.operator_path:
         over["operator_path"] = args.operator_path
     if args.tile_elements is not None:

@@ -178,3 +178,14 @@ def test_newton_stall_at_floor_still_converges(mesh2d_path):
     for _ in range(3):
         st, m = s.step(st)
     assert m.converged
+
+
+def test_freeze_guard_warns_on_zero_iteration_streak(mesh2d_path, capsys):
+    """A huge rtol makes every warm-started solve accept at 0 iterations —
+    the guard must flag the frozen trajectory (the mesh-3D-xfine failure
+    mode, docs/DESIGN.md 'accuracy cliff')."""
+    s = _make_solver("2D-2", mesh2d_path, gmres_rtol=10.0)
+    _, hist = s.run(n_steps=6)
+    assert all(h["gmres_iters"] == 0 for h in hist[1:])
+    out = capsys.readouterr().out
+    assert "consecutive 0-iteration" in out
