@@ -61,6 +61,10 @@ def parse_args(argv=None):
         help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
     )
     p.add_argument(
+        "--criterion", default=None, choices=["rhs", "defect"],
+        help="GMRES stopping normalization (config.gmres_criterion)",
+    )
+    p.add_argument(
         "--kp-iters", type=int, default=None,
         help="CG/smoother budget of the K_p Schur solve (config.precond_kp_iters)",
     )
@@ -126,6 +130,8 @@ def main(argv=None):
         over["precond_p1_iters"] = args.p1_iters
     if args.schur:
         over["precond_schur"] = args.schur
+    if args.criterion:
+        over["gmres_criterion"] = args.criterion
     if args.kp_iters is not None:
         over["precond_kp_iters"] = args.kp_iters
     if args.twolevel_cycles is not None:

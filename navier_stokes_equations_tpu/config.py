@@ -94,6 +94,14 @@ class SolverConfig:
     # reproduces the DFG shedding (St=0.294 on the coarse mesh) while 1e-2 +
     # warm start locks onto a spurious steady state.
     gmres_rtol: float = 1e-4
+    # Stopping normalization for the linearized path: "rhs" (||r|| <=
+    # rtol*||b||, current validated default) or "defect" (||r|| <=
+    # max(rtol*||b - A x0||, 1e-6*||b||) — the reference's SolverControl
+    # semantics under warm starting; demands a genuine per-step reduction
+    # so the acceptance tightens as the flow settles instead of freezing.
+    # Required for trustworthy >1M-dof traces (docs/DESIGN.md "accuracy
+    # cliff"); costs more iterations per step.
+    gmres_criterion: str = "rhs"
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2

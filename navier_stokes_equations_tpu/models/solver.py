@@ -224,6 +224,7 @@ class NavierStokesSolver:
             rtol=cfg.gmres_rtol if rtol is None else rtol,
             alloc=cfg.gmres_alloc,
             weight=tiles.wmask.reshape(-1),
+            criterion=cfg.gmres_criterion,
         )
         return res._replace(x=tile_operator.from_tiles(fe, tiles, res.x))
 
@@ -285,6 +286,7 @@ class NavierStokesSolver:
             restart=cfg.gmres_restart, maxiter=maxiter,
             rtol=cfg.gmres_rtol if rtol is None else rtol,
             alloc=cfg.gmres_alloc,
+            criterion=cfg.gmres_criterion,
         )
         return res
 

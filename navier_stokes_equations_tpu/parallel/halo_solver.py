@@ -124,6 +124,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 "halo layout evaluates operators through its shard_mapped "
                 "quadrature kernels; operator_path='tile' is single-chip only"
             )
+        if cfg.gmres_criterion != "rhs":
+            raise NotImplementedError(
+                "halo layout's distributed FGMRES implements the 'rhs' "
+                f"stopping criterion only, not {cfg.gmres_criterion!r}"
+            )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
             n_shards = len(jax.devices())

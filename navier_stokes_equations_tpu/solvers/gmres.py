@@ -49,11 +49,22 @@ def fgmres(
     rtol=1e-2,
     alloc: int | None = None,
     weight: jnp.ndarray | None = None,
+    criterion: str = "rhs",
 ) -> GmresResult:
     """Solve A x = b with right-preconditioned FGMRES(restart).
 
     Stopping rule: ||r|| <= max(atol, rtol * ||b||)  (the reference uses the
     absolute criterion 1e-2 * ||b||, i.e. atol=None, rtol=1e-2).
+
+    ``criterion="defect"`` normalizes by the INITIAL residual instead:
+    ||r|| <= max(atol, rtol * ||b - A x0||).  With a zero initial guess the
+    two coincide (the reference's SolverControl semantics,
+    NavierStokes.cpp:836); with a warm start "rhs" can accept at 0
+    iterations once the old solution sits under rtol*||b|| — which froze
+    a 1.36M-dof trace into O(1) coasting error (docs/DESIGN.md "accuracy
+    cliff") — while "defect" demands a genuine per-step reduction of
+    whatever defect the step has, so the acceptance level tightens
+    automatically as the flow settles.
 
     ``alloc`` caps the *allocated* basis length: the CGS2 projections are
     masked matmuls over the full (m+1, n) basis, so HBM traffic per Arnoldi
@@ -84,7 +95,16 @@ def fgmres(
         wdot = lambda v: weight * v
 
     b_norm = wnorm(b)
-    tol = rtol * b_norm
+    if criterion == "defect":
+        # One extra operator application per solve; r0 is recomputed by the
+        # first restart anyway (the Krylov process needs it normalized).
+        # The 1e-6*||b|| floor keeps a near-perfect warm start from
+        # demanding a reduction below the f32 residual-evaluation noise.
+        tol = jnp.maximum(rtol * wnorm(b - apply_a(x)), 1e-6 * b_norm)
+    elif criterion == "rhs":
+        tol = rtol * b_norm
+    else:
+        raise ValueError(f"unknown stopping criterion {criterion!r}")
     if atol is not None:
         tol = jnp.maximum(tol, atol)
     # If b == 0 the solution is x = 0 (constrained dofs carry b's values, so

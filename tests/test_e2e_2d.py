@@ -189,3 +189,32 @@ def test_freeze_guard_warns_on_zero_iteration_streak(mesh2d_path, capsys):
     assert all(h["gmres_iters"] == 0 for h in hist[1:])
     out = capsys.readouterr().out
     assert "consecutive 0-iteration" in out
+
+
+def test_defect_criterion_never_freezes(mesh2d_path):
+    """criterion='defect' keeps solving where the rhs criterion freezes:
+    at rtol=10 'rhs' accepts the warm start at 0 iterations every step
+    (see the freeze-guard test) — with 'defect' the 1e-6*||b|| floor plus
+    the per-step defect normalization force real solves whenever the step
+    has a defect above the floor."""
+    s = _make_solver("2D-2", mesh2d_path, gmres_rtol=1e-4,
+                     gmres_criterion="defect")
+    _, hist = s.run(n_steps=8)
+    assert all(h["gmres_iters"] > 0 for h in hist)
+    assert all(h["converged"] for h in hist)
+
+
+def test_defect_criterion_matches_rhs_at_tight_rtol(mesh2d_path):
+    """At rtol=1e-8 both normalizations solve to the same accuracy class —
+    trajectories must agree to solver-tolerance leftovers."""
+    sa = _make_solver("2D-2", mesh2d_path, gmres_rtol=1e-8)
+    sb = _make_solver("2D-2", mesh2d_path, gmres_rtol=1e-8,
+                      gmres_criterion="defect")
+    _, ha = sa.run(n_steps=8)
+    _, hb = sb.run(n_steps=8)
+    # The defect path's 1e-6*||b|| floor dominates at rtol=1e-8, so both
+    # solve to <=1e-6*||b|| backward error — functionals agree at the
+    # 1e-7-absolute level (measured 2e-8); a criterion bug diverges at 1e-2+.
+    for a, b in zip(ha, hb):
+        assert abs(a["Cd"] - b["Cd"]) <= 1e-6 + 1e-5 * abs(a["Cd"])
+        assert abs(a["DeltaP"] - b["DeltaP"]) <= 1e-6 + 1e-5 * abs(a["DeltaP"])

@@ -93,3 +93,26 @@ def test_pcg_spd():
     A, b = _random_system(50, seed=8, spd=True)
     x = cg.pcg(lambda v: A @ v, b, jnp.diag(A), iters=60)
     np.testing.assert_allclose(A @ x, b, rtol=1e-8, atol=1e-8)
+
+
+def test_fgmres_defect_criterion_vs_rhs_on_warm_start():
+    """With a warm start already under rtol*||b||, the 'rhs' criterion
+    accepts at 0 iterations; 'defect' demands a genuine reduction of the
+    remaining defect (the mesh-3D-xfine freeze mechanism, docs/DESIGN.md)."""
+    A, b = _random_system(60, seed=9)
+    exact = jnp.linalg.solve(A, b)
+    x0 = exact + 1e-5 * jnp.linalg.norm(exact) * jnp.ones_like(exact) / jnp.sqrt(60.0)
+
+    res_rhs = gmres.fgmres(lambda v: A @ v, b, x0=x0, restart=30, maxiter=60,
+                           rtol=1e-2)
+    assert bool(res_rhs.converged) and int(res_rhs.iterations) == 0
+
+    res_def = gmres.fgmres(lambda v: A @ v, b, x0=x0, restart=30, maxiter=60,
+                           rtol=1e-2, criterion="defect")
+    assert bool(res_def.converged) and int(res_def.iterations) > 0
+    r0 = float(jnp.linalg.norm(b - A @ x0))
+    r_end = float(jnp.linalg.norm(b - A @ res_def.x))
+    # Stopping level: max(rtol * r0, the 1e-6*||b|| floor), plus slack for
+    # the Givens estimate vs the true residual.
+    bn = float(jnp.linalg.norm(b))
+    assert r_end <= 1.5 * max(1e-2 * r0, 1e-6 * bn)
