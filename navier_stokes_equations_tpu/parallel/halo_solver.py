@@ -124,11 +124,6 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 "halo layout evaluates operators through its shard_mapped "
                 "quadrature kernels; operator_path='tile' is single-chip only"
             )
-        if cfg.gmres_criterion != "rhs":
-            raise NotImplementedError(
-                "halo layout's distributed FGMRES implements the 'rhs' "
-                f"stopping criterion only, not {cfg.gmres_criterion!r}"
-            )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
             n_shards = len(jax.devices())
@@ -605,6 +600,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             apply_a, b_hat.reshape(-1), precond=precond, x0=x0.reshape(-1),
             restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_linear,
             rtol=cfg.gmres_rtol, alloc=cfg.gmres_alloc,
+            # Owned-block layout: each global dof lives in exactly one
+            # owned slot and padding is zero, so the plain norms inside
+            # fgmres (psum-reduced under SPMD) are the global norms — the
+            # defect criterion distributes for free (one extra matvec).
+            criterion=cfg.gmres_criterion,
         )
 
         return self._halo_finalize(

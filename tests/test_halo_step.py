@@ -199,3 +199,28 @@ def test_halo_newton_host_driver_matches_graph(mesh2d_path):
         )
     np.testing.assert_array_equal(res["graph"][0], res["host"][0])
     assert res["graph"][1:] == res["host"][1:]
+
+
+def test_full_steps_match_single_device_defect_criterion(mesh2d_path):
+    """The defect stopping criterion distributes over the halo layout (the
+    extra ||b - A x0|| is one shard_mapped matvec + psum norm): per-step
+    iteration counts and functionals must match the single-device solver."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+    cfg = dataclasses.replace(
+        test_cases.make("2D-2", deltat=0.01), dtype="float64",
+        gmres_criterion="defect",
+    )
+    mesh = sharding.partition_mesh(taylor_hood.load(mesh2d_path), N_DEV)
+    ref = solver.NavierStokesSolver(cfg, mesh)
+    hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV)
+    s_ref = ref.initial_state()
+    s_h = hs.initial_state()
+    for _ in range(2):
+        s_ref, m_ref = ref.step(s_ref)
+        s_h, m_h = hs.step(s_h)
+        assert int(m_ref.gmres_iters) > 0  # defect criterion never freezes
+        assert abs(int(m_h.gmres_iters) - int(m_ref.gmres_iters)) <= 2
+        assert bool(m_h.converged)
+        assert abs(float(m_h.drag) - float(m_ref.drag)) < 1e-3
+        assert abs(float(m_h.delta_p) - float(m_ref.delta_p)) < 1e-3
