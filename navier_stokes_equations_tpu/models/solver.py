@@ -962,6 +962,8 @@ class NavierStokesSolver:
 
         m_last = None
         done = 0
+        frozen_streak = 0
+        frozen_warned = False
         while done < n_steps:
             w = min(window, n_steps - done)
             saved = []
@@ -971,7 +973,34 @@ class NavierStokesSolver:
                 saved.append(st)
                 st, m = self._attempt_jit(st, self._k_consts[0], self.fe, self.pressure_ops)
                 metrics.append(m)
-            flags = _np.asarray(jnp.stack([m.converged for m in metrics]))
+            # ONE stacked pull for flags + iteration counts (each separate
+            # D2H transfer costs a full ~30-40 ms round-trip).
+            packed = _np.asarray(
+                jnp.stack(
+                    [
+                        jnp.stack([m.converged.astype(jnp.float32) for m in metrics]),
+                        jnp.stack([m.gmres_iters.astype(jnp.float32) for m in metrics]),
+                    ]
+                )
+            )
+            flags = packed[0] > 0.5
+            # Freeze guard (same rationale as run(): docs/DESIGN.md
+            # "accuracy cliff") on the windowed path used by long runs.
+            if self.cfg.gmres_warm_start and not frozen_warned:
+                for it_count in packed[1]:
+                    frozen_streak = frozen_streak + 1 if it_count == 0 else 0
+                    if frozen_streak >= 5:
+                        frozen_warned = True
+                        print(
+                            f"WARNING: {frozen_streak} consecutive "
+                            "0-iteration steps — the warm start satisfies "
+                            "gmres_rtol*||b|| and the state is frozen.  If "
+                            "the flow is not at a converged steady state, "
+                            "tighten --rtol or use --criterion defect (see "
+                            "docs/DESIGN.md accuracy cliff).",
+                            flush=True,
+                        )
+                        break
             if flags.all():
                 state, m_last = st, metrics[-1]
                 done += w

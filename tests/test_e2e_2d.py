@@ -218,3 +218,12 @@ def test_defect_criterion_matches_rhs_at_tight_rtol(mesh2d_path):
     for a, b in zip(ha, hb):
         assert abs(a["Cd"] - b["Cd"]) <= 1e-6 + 1e-5 * abs(a["Cd"])
         assert abs(a["DeltaP"] - b["DeltaP"]) <= 1e-6 + 1e-5 * abs(a["DeltaP"])
+
+
+def test_freeze_guard_warns_in_run_async(mesh2d_path, capsys):
+    """The windowed dispatch path (used by bench/long runs) carries the
+    same freeze guard as run(), fed from the single stacked pull."""
+    s = _make_solver("2D-2", mesh2d_path, gmres_rtol=10.0)
+    _, m = s.run_async(8, window=4)
+    out = capsys.readouterr().out
+    assert "consecutive 0-iteration" in out
