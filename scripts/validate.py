@@ -59,6 +59,15 @@ RUNS = {
          "--deltat", "0.0025", "--operator-path", "tile", "--tile-elements", "16"],
         "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
     ),
+    # Tolerance-sensitivity companion: same rung, defect-normalized stopping
+    # (~3x the iterations) — separates mesh error from tolerance error in
+    # the corridor misses (580k: Dp 1.2% low, Cd_max 1% high).
+    "2d2_855k_defect": (
+        ["--case", "2D-2", "--mesh", os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
+         "--deltat", "0.0025", "--operator-path", "tile", "--tile-elements", "16",
+         "--criterion", "defect"],
+        "forces_2d2_855k_dt0.0025_tpu_f32_tile_defect.txt",
+    ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'
     # tolerance freezes and produces non-physics at this scale
     # (docs/DESIGN.md "accuracy cliff"); budget ~50 its/step.
@@ -68,7 +77,7 @@ RUNS = {
         "forces_3d2z_mesh-3D-xfine_tpu_f32_defect.txt",
     ),
 }
-DEFAULT_SKIP = {"2d2_855k", "3d2z_xfine"}
+DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine"}
 
 
 def main(argv):
