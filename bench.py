@@ -10,6 +10,14 @@ developed-flow regime (warmup past the inlet ramp), using the scan-driven
 step loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Resilience (the round-2 number was lost to a transient backend outage):
+the default invocation is an ORCHESTRATOR that (1) terminates stale TPU
+clients from this repo (one-client-at-a-time device), (2) probes the device
+with a trivial matmul in a THROWAWAY subprocess, retrying with backoff
+(a wedged worker often recovers in 90-210 s), and (3) runs the measurement
+itself in a fresh subprocess, retrying on backend-init/unavailable errors.
+``bench.py --inner`` is the raw single-attempt measurement.
 """
 
 from __future__ import annotations
@@ -17,10 +25,23 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
 BASELINE_STEPS_PER_SEC = 0.31  # reference 2D-2, 4-rank MPI CPU (BASELINE.md)
+
+# Signatures of a transient device/backend failure (worth retrying) as seen
+# on the axon-tunneled TPU: init refusal, wedged worker, mid-run loss.
+_TRANSIENT_SIGNS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "FAILED_PRECONDITION",
+    "DEADLINE_EXCEEDED",
+    "crashed or restarted",
+    "Socket closed",
+)
 
 
 def _enable_compilation_cache():
@@ -31,6 +52,152 @@ def _enable_compilation_cache():
 
     configure()
 
+
+# ---------------------------------------------------------------------------
+# Orchestrator: make the benchmark survive transient TPU outages.
+# ---------------------------------------------------------------------------
+
+
+def _candidate_stale_clients() -> list[int]:
+    """PIDs of OTHER python processes that look like TPU clients of this repo.
+
+    The device accepts one client at a time; a stale ``main.py``/script left
+    over from an interrupted session blocks (or wedges) initialization.  We
+    match only this repo's entry points, and never our own process tree.
+    """
+    markers = ("bench.py", "main.py", "validate.py", "__graft_entry__",
+               "/root/repo/scripts/")
+    protected = set()
+    pid = os.getpid()
+    # Protect self and every ancestor (the driver shell invoking us).
+    while pid > 1:
+        protected.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except Exception:
+            break
+    out = []
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except Exception:
+        return out
+    for p in pids:
+        if p in protected:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode("utf-8", "replace")
+        except Exception:
+            continue
+        if "python" not in cmd:
+            continue
+        if any(m in cmd for m in markers):
+            out.append(p)
+    return out
+
+
+def _reap_stale_clients() -> None:
+    stale = _candidate_stale_clients()
+    for p in stale:
+        try:
+            os.kill(p, signal.SIGTERM)
+            print(f"# bench: SIGTERM stale TPU client pid={p}", file=sys.stderr)
+        except OSError:
+            pass
+    if stale:
+        time.sleep(5.0)
+        for p in stale:
+            try:
+                os.kill(p, signal.SIGKILL)
+            except OSError:
+                pass
+        time.sleep(3.0)
+
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.float32)
+v = float((x @ x).sum())
+assert v == 256.0 * 256 * 256, v
+print("PROBE_OK", jax.devices()[0].platform)
+"""
+
+
+def _probe_device(timeout_s: float = 240.0) -> bool:
+    """Trivial matmul + scalar pull in a throwaway subprocess.
+
+    A wedged backend can HANG client init (not just error), so the probe
+    must be separate from the process that will run the measurement.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        print("# bench: probe TIMED OUT (wedged client init)", file=sys.stderr)
+        return False
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        print(f"# bench: probe ok ({r.stdout.strip().split()[-1]})", file=sys.stderr)
+        return True
+    tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+    print("# bench: probe failed: " + " | ".join(tail), file=sys.stderr)
+    return False
+
+
+def _orchestrate() -> int:
+    deadline = time.monotonic() + float(os.environ.get("BENCH_RETRY_DEADLINE", "1500"))
+    inner_timeout = float(os.environ.get("BENCH_INNER_TIMEOUT", "2700"))
+    backoff = 60.0
+    attempt = 0
+    _reap_stale_clients()
+    while True:
+        attempt += 1
+        if _probe_device():
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--inner"],
+                    capture_output=True, text=True, timeout=inner_timeout,
+                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+                )
+            except subprocess.TimeoutExpired:
+                r = None
+                print(f"# bench: inner run timed out after {inner_timeout:.0f}s",
+                      file=sys.stderr)
+            if r is not None:
+                sys.stderr.write(r.stderr)
+                json_line = None
+                for line in r.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        json_line = line
+                    elif line:
+                        print(line, file=sys.stderr)
+                if r.returncode == 0 and json_line:
+                    print(json_line)
+                    return 0
+                blob = (r.stderr or "") + (r.stdout or "")
+                transient = any(s in blob for s in _TRANSIENT_SIGNS)
+                print(f"# bench: inner attempt {attempt} failed rc={r.returncode} "
+                      f"transient={transient}", file=sys.stderr)
+                if not transient:
+                    # A real bug: retrying the same code cannot help.
+                    return 1
+        if time.monotonic() + backoff > deadline:
+            print("# bench: retry deadline exhausted; device still unavailable",
+                  file=sys.stderr)
+            return 1
+        print(f"# bench: backing off {backoff:.0f}s before retry", file=sys.stderr)
+        time.sleep(backoff)
+        backoff = min(backoff * 1.5, 300.0)
+        _reap_stale_clients()
+
+
+# ---------------------------------------------------------------------------
+# The measurement itself (single attempt).
+# ---------------------------------------------------------------------------
 
 
 def main():
@@ -98,4 +265,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--inner" in sys.argv[1:]:
+        sys.exit(main())
+    sys.exit(_orchestrate())

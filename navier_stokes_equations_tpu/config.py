@@ -169,6 +169,9 @@ class SolverConfig:
     operator_path: str = "quadrature"
     # Elements per tile on the "tile" path: 32 puts a 2D tile's node-slot
     # count at exactly 128 (the f32 lane width) on the benchmark meshes.
+    # NOTE: bench.py measures fastest at tile_elements=16 on mesh-2D-100
+    # (BENCH_TILE_E default) — the half-tile's smaller slot gather beats the
+    # fuller MXU tile there; 32 remains the right default at larger meshes.
     tile_elements: int = 32
     # Tile-RESIDENT Krylov vectors (operator_path="tile" only): FGMRES runs
     # on tile-local slot vectors with owner-masked inner products, so the

@@ -986,7 +986,15 @@ class NavierStokesSolver:
             flags = packed[0] > 0.5
             # Freeze guard (same rationale as run(): docs/DESIGN.md
             # "accuracy cliff") on the windowed path used by long runs.
-            if self.cfg.gmres_warm_start and not frozen_warned:
+            # Newton runs return above, but keep the exclusion explicit in
+            # case the windowed path ever grows a Newton branch: Newton's
+            # zero-guess inner solves legitimately hit 0 iterations near a
+            # steady state and the warning's advice would not apply.
+            if (
+                self.cfg.nonlinear_method != NonlinearMethod.NEWTON
+                and self.cfg.gmres_warm_start
+                and not frozen_warned
+            ):
                 for it_count in packed[1]:
                     frozen_streak = frozen_streak + 1 if it_count == 0 else 0
                     if frozen_streak >= 5:

@@ -100,7 +100,10 @@ def fgmres(
         # first restart anyway (the Krylov process needs it normalized).
         # The 1e-6*||b|| floor keeps a near-perfect warm start from
         # demanding a reduction below the f32 residual-evaluation noise.
-        tol = jnp.maximum(rtol * wnorm(b - apply_a(x)), 1e-6 * b_norm)
+        # With x0 None/zero the defect IS b (||b - A*0|| == ||b||): skip the
+        # operator application — every Newton inner solve lands here.
+        defect_norm = b_norm if x0 is None else wnorm(b - apply_a(x))
+        tol = jnp.maximum(rtol * defect_norm, 1e-6 * b_norm)
     elif criterion == "rhs":
         tol = rtol * b_norm
     else:
