@@ -61,7 +61,7 @@ def parse_args(argv=None):
         help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
     )
     p.add_argument(
-        "--criterion", default=None, choices=["rhs", "defect"],
+        "--criterion", default=None, choices=["auto", "rhs", "defect"],
         help="GMRES stopping normalization (config.gmres_criterion)",
     )
     p.add_argument(

@@ -43,6 +43,25 @@ RHO = 1.0
 CYLINDER_D = 0.1
 CHANNEL_H = 0.41
 
+# Dof count above which gmres_criterion="auto" selects the "defect"
+# stopping normalization.  Rationale (docs/DESIGN.md "accuracy cliff"):
+# a fixed rtol*||b|| acceptance admits solution error ~||A^-1||*rtol*||b||,
+# and ||A^-1|| grows ~1/h^2 with refinement at fixed dt — measured O(1)
+# physics error (frozen warm starts, spurious Cd plateau 6.69) at 1.36M
+# dofs, and ~1% corridor misses already visible at 580k.  Every regime
+# validated with "rhs" (bench mesh-2D-100 at 160k dofs and below) sits
+# under this threshold.
+GMRES_CRITERION_AUTO_DOFS = 500_000
+
+
+def resolve_gmres_criterion(criterion: str, n_dofs: int) -> str:
+    """Resolve gmres_criterion="auto" by total dof count (see above)."""
+    if criterion == "auto":
+        return "defect" if n_dofs > GMRES_CRITERION_AUTO_DOFS else "rhs"
+    if criterion not in ("rhs", "defect"):
+        raise ValueError(f"unknown gmres_criterion {criterion!r}")
+    return criterion
+
 
 def mean_velocity_factor(dim: int) -> float:
     """U_mean = factor * U_m (reference: NavierStokes.cpp:64-70, 990-994)."""
@@ -95,13 +114,18 @@ class SolverConfig:
     # warm start locks onto a spurious steady state.
     gmres_rtol: float = 1e-4
     # Stopping normalization for the linearized path: "rhs" (||r|| <=
-    # rtol*||b||, current validated default) or "defect" (||r|| <=
+    # rtol*||b||, validated at bench scale) or "defect" (||r|| <=
     # max(rtol*||b - A x0||, 1e-6*||b||) — the reference's SolverControl
     # semantics under warm starting; demands a genuine per-step reduction
     # so the acceptance tightens as the flow settles instead of freezing.
     # Required for trustworthy >1M-dof traces (docs/DESIGN.md "accuracy
-    # cliff"); costs more iterations per step.
-    gmres_criterion: str = "rhs"
+    # cliff"); costs more iterations per step.  "auto" (default) resolves
+    # at solver construction: "defect" above GMRES_CRITERION_AUTO_DOFS
+    # total dofs, "rhs" below — mirroring newton_driver="auto", so a
+    # default-config fine-mesh run can NEVER freeze into tolerance-error
+    # coasting (the measured mesh-3D-xfine failure mode), while the
+    # validated bench regime keeps its cheaper criterion.
+    gmres_criterion: str = "auto"
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2

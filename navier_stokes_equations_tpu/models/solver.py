@@ -143,6 +143,22 @@ class NavierStokesSolver:
         self._newton_host = cfg.newton_driver == "host" or (
             cfg.newton_driver == "auto" and self.fe.n_dofs > 200_000
         )
+        # Scale-safe stopping criterion: "auto" -> "defect" above the dof
+        # threshold (see config.GMRES_CRITERION_AUTO_DOFS) so a fine-mesh
+        # default-config run cannot freeze on warm-start tolerance error.
+        from .. import config as _config
+
+        self._gmres_criterion = _config.resolve_gmres_criterion(
+            cfg.gmres_criterion, self.fe.n_dofs
+        )
+        if cfg.gmres_criterion == "auto" and self._gmres_criterion == "defect":
+            print(
+                f"gmres_criterion=auto: {self.fe.n_dofs} dofs > "
+                f"{_config.GMRES_CRITERION_AUTO_DOFS} — using the 'defect' "
+                "stopping criterion (scale-safe; docs/DESIGN.md accuracy "
+                "cliff)",
+                flush=True,
+            )
         self._newton_asm_jit = jax.jit(self._newton_asm_step)
         self._newton_slv_jit = jax.jit(self._newton_slv_step)
         self._newton_fin_jit = jax.jit(self._newton_fin)
@@ -224,7 +240,7 @@ class NavierStokesSolver:
             rtol=cfg.gmres_rtol if rtol is None else rtol,
             alloc=cfg.gmres_alloc,
             weight=tiles.wmask.reshape(-1),
-            criterion=cfg.gmres_criterion,
+            criterion=self._gmres_criterion,
         )
         return res._replace(x=tile_operator.from_tiles(fe, tiles, res.x))
 
@@ -286,7 +302,7 @@ class NavierStokesSolver:
             restart=cfg.gmres_restart, maxiter=maxiter,
             rtol=cfg.gmres_rtol if rtol is None else rtol,
             alloc=cfg.gmres_alloc,
-            criterion=cfg.gmres_criterion,
+            criterion=self._gmres_criterion,
         )
         return res
 
@@ -900,6 +916,7 @@ class NavierStokesSolver:
             if (
                 self.cfg.nonlinear_method != NonlinearMethod.NEWTON
                 and self.cfg.gmres_warm_start
+                and self._gmres_criterion == "rhs"  # defect cannot freeze
             ):
                 frozen_streak = frozen_streak + 1 if rec["gmres_iters"] == 0 else 0
                 if frozen_streak >= 5 and not frozen_warned:
@@ -993,6 +1010,7 @@ class NavierStokesSolver:
             if (
                 self.cfg.nonlinear_method != NonlinearMethod.NEWTON
                 and self.cfg.gmres_warm_start
+                and self._gmres_criterion == "rhs"  # defect cannot freeze
                 and not frozen_warned
             ):
                 for it_count in packed[1]:

@@ -604,7 +604,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             # owned slot and padding is zero, so the plain norms inside
             # fgmres (psum-reduced under SPMD) are the global norms — the
             # defect criterion distributes for free (one extra matvec).
-            criterion=cfg.gmres_criterion,
+            criterion=self._gmres_criterion,  # "auto" resolved at init
         )
 
         return self._halo_finalize(
