@@ -20,11 +20,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib
+import shutil
+import subprocess
 
 import pytest
 
 REFERENCE_MESHES = pathlib.Path("/root/reference/meshes")
 REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+# Build the native mesh-ingest library so tests/test_native.py actually
+# runs (mesh/native.py caches its load attempt at first use, so this must
+# happen at conftest import time, before any test imports the package).
+_CSRC = REPO_ROOT / "navier_stokes_equations_tpu" / "csrc"
+if not (_CSRC / "libnsmesh.so").exists() and shutil.which("make"):
+    try:
+        subprocess.run(
+            ["make", "-C", str(_CSRC)], check=True,
+            capture_output=True, timeout=300,
+        )
+    except Exception as e:  # no toolchain: native tests skip as before
+        print(f"conftest: native build skipped ({e})")
 
 
 @pytest.fixture(scope="session")
