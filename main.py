@@ -61,6 +61,11 @@ def parse_args(argv=None):
         help="Schur approximation: Cahouet-Chabard or pressure convection-diffusion",
     )
     p.add_argument(
+        "--precond-structure", default=None, choices=["triangular", "diagonal"],
+        help="block preconditioner structure (reference PreconditionBlockTriangular"
+        " / PreconditionBlockDiagonal, NavierStokes.hpp:242-366)",
+    )
+    p.add_argument(
         "--criterion", default=None, choices=["auto", "rhs", "defect"],
         help="GMRES stopping normalization (config.gmres_criterion)",
     )
@@ -130,6 +135,8 @@ def main(argv=None):
         over["precond_p1_iters"] = args.p1_iters
     if args.schur:
         over["precond_schur"] = args.schur
+    if args.precond_structure:
+        over["precond_structure"] = args.precond_structure
     if args.criterion:
         over["gmres_criterion"] = args.criterion
     if args.kp_iters is not None:

@@ -172,6 +172,14 @@ class SolverConfig:
     # adds the pressure-space advection term N_p(u*) to the Schur action,
     # the ESW recipe for convection-dominated regimes).
     precond_schur: str = "cc"
+    # Block structure: "triangular" (the reference's default-and-actually-used
+    # PreconditionBlockTriangular, NavierStokes.hpp:279-366: velocity solve,
+    # then Schur action on r_p - B z_u) or "diagonal" (the reference's
+    # PreconditionBlockDiagonal, NavierStokes.hpp:242-277: independent
+    # velocity and pressure-Schur solves, no divergence coupling — kept for
+    # capability parity; expect ~1.2x the Krylov iterations; see PARITY.md
+    # for the pressure-block deviation from the reference's ILU(M_p)).
+    precond_structure: str = "triangular"
     precond_kp_iters: int = 30  # Jacobi-CG iterations on the pressure Laplacian
     precond_twolevel_cycles: int = 1  # V-cycles of the aggregation two-grid Schur
     kp_regularization: float = 1e-6  # K_p += eps * M_p (reference: cpp:536,828)

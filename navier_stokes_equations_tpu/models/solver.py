@@ -233,6 +233,7 @@ class NavierStokesSolver:
             twolevel_cycles=cfg.precond_twolevel_cycles,
             schur=cfg.precond_schur, u_adv=u_adv,
             gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
+            structure=cfg.precond_structure,
         )
         res = gmres.fgmres(
             apply_t, bt, precond=precond, x0=xt0,
@@ -296,6 +297,7 @@ class NavierStokesSolver:
             p1_iters=cfg.precond_p1_iters,
             schur=cfg.precond_schur, u_adv=u_adv,
             gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
+            structure=cfg.precond_structure,
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,

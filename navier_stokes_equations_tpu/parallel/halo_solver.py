@@ -119,6 +119,12 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 "halo layout implements the Cahouet-Chabard Schur action only"
                 f" (precond_schur='cc'), not {cfg.precond_schur!r}"
             )
+        if cfg.precond_structure != "triangular":
+            raise NotImplementedError(
+                "halo layout implements the block-triangular structure only"
+                f" (precond_structure='triangular'), not "
+                f"{cfg.precond_structure!r}"
+            )
         if cfg.operator_path == "tile":
             raise NotImplementedError(
                 "halo layout evaluates operators through its shard_mapped "

@@ -432,6 +432,7 @@ def make_cahouet_chabard(
     schur: str = "cc",  # "cc" (Cahouet-Chabard) | "pcd"
     u_adv=None,  # (n_vnodes, dim) advection field (u* / u_k) for schur="pcd"
     gd_gamma=None,  # grad-div coefficient for the P1 coarse level (SUPG cases)
+    structure: str = "triangular",  # "triangular" | "diagonal"
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -439,7 +440,19 @@ def make_cahouet_chabard(
     (the quadrature-path operators); defaults use the element matrices.
     ``diag``: precomputed global matrix diagonal — the quadrature path
     supplies it (assembly.oseen_rhs_diag) so ``A_e`` may be None.
+
+    ``structure="diagonal"`` exposes the reference's
+    ``PreconditionBlockDiagonal`` (NavierStokes.hpp:242-277): the velocity
+    solve and the pressure solve applied independently — no divergence
+    coupling (``t = r_p`` instead of ``r_p - B z_u``).  Deviation: the
+    pressure block is the same Cahouet-Chabard Schur action the triangular
+    path uses, not the reference's literal ILU(M_p) — an unscaled mass
+    solve is mis-scaled by ~dt/rho on the transient Schur complement and
+    stalls FGMRES at any usable dt (measured: 3000 its unconverged vs 59;
+    PARITY.md).
     """
+    if structure not in ("triangular", "diagonal"):
+        raise ValueError(f"unknown precond structure {structure!r}")
     if diag is None:
         diag = operators.extract_diagonal(fe, A_e, mask)
     n_u = fe.n_udofs
@@ -520,6 +533,16 @@ def make_cahouet_chabard(
                 z = z + 0.8 * resid / diag
         z_u = z.at[n_u:].set(0.0)
 
+        if structure == "diagonal":
+            # Block-diagonal (hpp:263-268): the two block solves applied
+            # independently — no divergence coupling.  Deviation from the
+            # reference's literal ILU(M_p) pressure block: the same
+            # Cahouet-Chabard Schur action as the triangular path, applied
+            # to r_p directly (PARITY.md) — an unscaled M_p^{-1} is
+            # mis-scaled by ~dt/rho on the transient Schur complement and
+            # stalls FGMRES at any usable dt.
+            return z_u.at[n_u:].set(schur_act(r[n_u:]))
+
         # --- step 2: t = r_p - B z_u ------------------------------------
         t = r[n_u:] - div_apply(z_u)
 
@@ -596,6 +619,7 @@ def make_cahouet_chabard_local(
     schur: str = "cc",
     u_adv=None,
     gd_gamma=None,
+    structure: str = "triangular",
 ) -> Callable:
     """Tile-RESIDENT Cahouet-Chabard: precond(r) on consistent flat
     tile-local vectors (ops/tile_operator.py docstring).
@@ -613,6 +637,8 @@ def make_cahouet_chabard_local(
             f"tile-resident Krylov supports jacobi/p1coarse/p1coarse_mult, "
             f"not {vel_method!r}"
         )
+    if structure not in ("triangular", "diagonal"):
+        raise ValueError(f"unknown precond structure {structure!r}")
     dim, C = fe.dim, fe.dim + 1
     nt, un, un_p = tiles.n_tiles, tiles.un, tiles.un_p
     n_p, n_u, nv = fe.n_p, fe.n_udofs, fe.n_vnodes
@@ -678,13 +704,18 @@ def make_cahouet_chabard_local(
             z_u = r_uf / diag_t
         z_u = zero_p_col(z_u)
 
-        # --- step 2: t = r_p - B z_u (nodal) ----------------------------
-        t = r_nodal[:n_p, dim] - op_local.divergence(
-            jnp.where(mask_t, 0.0, z_u)
-        )
-
-        # --- step 3: Schur action (nodal) -> back to the vertex slab ----
-        z_p = schur_act(t)
+        if structure == "diagonal":
+            # Block-diagonal (hpp:263-268): Schur action on r_p directly,
+            # no divergence coupling (deviation from the reference's
+            # ILU(M_p) — see the nodal factory above and PARITY.md).
+            z_p = schur_act(r_nodal[:n_p, dim])
+        else:
+            # --- step 2: t = r_p - B z_u (nodal) ------------------------
+            t = r_nodal[:n_p, dim] - op_local.divergence(
+                jnp.where(mask_t, 0.0, z_u)
+            )
+            # --- step 3: Schur action (nodal) -> back to the vertex slab
+            z_p = schur_act(t)
         zp_t = tileop.gather_p_slab(fe, tiles, z_p)  # (nt, un_p)
         rows = jnp.concatenate(
             [
