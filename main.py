@@ -74,6 +74,12 @@ def parse_args(argv=None):
         help="CG/smoother budget of the K_p Schur solve (config.precond_kp_iters)",
     )
     p.add_argument(
+        "--schur-dense-max", type=int, default=None,
+        help="pressure-space size up to which K_p^{-1} is a precomputed dense"
+        " inverse; above it the aggregation two-grid is used"
+        " (config.precond_schur_dense_max; 0 forces the two-grid)",
+    )
+    p.add_argument(
         "--twolevel-cycles", type=int, default=None,
         help="V-cycles of the aggregation two-grid Schur (config.precond_twolevel_cycles)",
     )
@@ -141,6 +147,8 @@ def main(argv=None):
         over["gmres_criterion"] = args.criterion
     if args.kp_iters is not None:
         over["precond_kp_iters"] = args.kp_iters
+    if args.schur_dense_max is not None:
+        over["precond_schur_dense_max"] = args.schur_dense_max
     if args.twolevel_cycles is not None:
         over["precond_twolevel_cycles"] = args.twolevel_cycles
     if args.operator_path:

@@ -469,6 +469,20 @@ def export_halo(hfe: HaloFE, y, send_nodes, send_verts):
     return jnp.concatenate([u.reshape(-1), p])
 
 
+def import_halo_p(hfe: HaloFE, p, send_verts):
+    """Pressure-only ghost import: fill halo vertex slots from their owners.
+
+    The pressure-space analog of :func:`import_halo` (a dim+1-times smaller
+    message), used by the distributed Schur K_p apply
+    (parallel/halo_schur.py).
+    """
+    p = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+    for r in range(hfe.n_rounds):
+        recv = jax.lax.ppermute(p[send_verts[r, 0]], hfe.axis, hfe.pairs(r))
+        p = p.at[send_verts[r, 1]].set(recv)
+    return p[: hfe.n_lp]
+
+
 def export_halo_p(hfe: HaloFE, yp, send_verts):
     """Pressure-only compress(add): halo vertex partials to their owners.
 

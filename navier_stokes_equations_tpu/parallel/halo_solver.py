@@ -20,10 +20,12 @@ TPU-native:
   * per-step advection tables are computed ONCE per ladder trial and passed
     into the matvec, so Krylov iterations never re-interpolate u*;
   * the Cahouet-Chabard preconditioner runs owned-local (Jacobi velocity
-    sweep, lumped M_p) except the Schur K_p solve, which gathers the
-    pressure residual to the replicated global space (dense/coarse solves
-    are replicated in distributed AMG stacks too) via
-    ``preconditioners.make_kp_solve``;
+    sweep, lumped M_p) INCLUDING the Schur K_p solve: the two-grid / CG
+    strategies run strip-local with O(interface) pressure exchanges and an
+    O(n_c) psum for the coarse residual (parallel/halo_schur.py); only the
+    dense strategy (small pressure spaces) gathers to the replicated
+    global space (coarse/dense solves are replicated in distributed AMG
+    stacks too);
   * step 2 of the preconditioner applies ONLY the divergence block (one
     pressure-sized halo export), not a full matvec;
   * the host-side dt-retry ladder, trial parameterization, warm starting
@@ -50,6 +52,7 @@ from ..models.solver import NavierStokesSolver, State, StepMetrics
 from ..ops import assembly, functionals, matfree
 from ..solvers import gmres, preconditioners
 from . import halo_fe as hf
+from . import halo_schur
 from . import sharding
 
 
@@ -87,6 +90,11 @@ class HaloStatics:
     probe_elems: Any  # (P, 2) int32 local element of each probe point (0 pad)
     probe_bary: Any  # (P, 2, n1) barycentric shape values
     probe_valid: Any  # (P, 2) 1.0 where this strip owns the probe element
+    # Distributed Schur K_p statics (parallel/halo_schur.py); () when the
+    # dense strategy keeps the replicated path.
+    kp_diag_p: Any = ()  # (P, n_lp) regularized-K_p diagonal on owned slots
+    agg_own: Any = ()  # (P, n_lp) int32 aggregate of owned verts (two-grid)
+    agg_gather: Any = ()  # tuple of (P, n_c+1, w) restriction maps
 
 
 class HaloNavierStokesSolver(NavierStokesSolver):
@@ -181,6 +189,16 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             .reshape(self.fe.dim, self.fe.n_vnodes)
             .T
         )
+        schur_statics = (
+            {}
+            if self.pressure_ops.dense
+            else {
+                k: jax.tree.map(put, v)
+                for k, v in halo_schur.build_schur_statics(
+                    hfe, self.pressure_ops
+                ).items()
+            }
+        )
         self.statics = HaloStatics(
             mask=put(mask_loc),
             pin_p=put(pin_loc[:, off:]),
@@ -192,6 +210,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             probe_elems=put(pel),
             probe_bary=put(pbary),
             probe_valid=put(pvalid),
+            **schur_statics,
         )
         self._attempt_jit = jax.jit(self._halo_attempt)
         self._newton_jit = jax.jit(self._halo_newton_step)
@@ -482,6 +501,48 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         return div_apply
 
+    def _make_kp_dist(self, hfe, statics, pops):
+        """Shard_mapped distributed K_p solve on (P, n_lp) owned residuals.
+
+        Strip-local two-grid / CG with O(interface) pressure exchanges and
+        an O(n_c) psum for the coarse residual (parallel/halo_schur.py) —
+        replaces the O(n_p) replicated gather per preconditioner
+        application.
+        """
+        cfg = self.cfg
+        ax = hfe.axis
+
+        def body(fe_stack, send_v, pin, diagp, agg_own, agg_g, t2, kc_inv):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            solve = halo_schur.make_kp_solve_local(
+                hfe, fe_loc,
+                pin[0], diagp[0],
+                jax.tree.map(lambda a: a[0], agg_own),
+                jax.tree.map(lambda a: a[0], agg_g),
+                send_v[0], kc_inv,
+                eps=pops.eps, two_level=pops.two_level,
+                kp_iters=cfg.precond_kp_iters,
+                cycles=cfg.precond_twolevel_cycles,
+            )
+            return solve(t2[0])[None]
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.device_mesh,
+            in_specs=(P(ax),) * 7 + (P(),),
+            out_specs=P(ax),
+        )
+
+        def kp_dist(t_free):
+            # t_free: (P, n_lp) pressure residual, zero at pins and halo
+            # slots (owned-valued); result is owned-valued too.
+            return mapped(
+                hfe.fe_stack, hfe.send_verts, statics.pin_p, statics.kp_diag_p,
+                statics.agg_own, statics.agg_gather, t_free, pops.kc_inv,
+            )
+
+        return kp_dist
+
     def _make_halo_precond(self, hfe, statics, pops, fe, params, diag2,
                            div_apply, apply_a=None):
         """Cahouet-Chabard on the owned layout.
@@ -496,10 +557,19 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         """
         cfg = self.cfg
         off = hfe.dim * hfe.n_ln
-        kp_solve = preconditioners.make_kp_solve(
-            fe, pops, kp_iters=cfg.precond_kp_iters,
-            twolevel_cycles=cfg.precond_twolevel_cycles,
-        )
+        if pops.dense:
+            # Small pressure spaces: the exact dense inverse stays
+            # replicated (gather + one MXU matmul; sharding an O(n_p^2)
+            # matmul at these sizes would add a collective to save nothing).
+            kp_solve = preconditioners.make_kp_solve(
+                fe, pops, kp_iters=cfg.precond_kp_iters,
+                twolevel_cycles=cfg.precond_twolevel_cycles,
+            )
+        else:
+            # Two-grid / CG strategies run fully distributed: strip-local
+            # K_p applications + O(interface) pressure exchanges + one
+            # O(n_c) psum per V-cycle (parallel/halo_schur.py).
+            kp_dist = self._make_kp_dist(hfe, statics, pops)
         npg = hfe.n_p_glob
         dt, theta, nu, rho = params.dt, params.theta, params.nu, params.rho
         p1c = cfg.precond_vel_method.startswith("p1coarse")
@@ -536,20 +606,29 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             # step 2: t = r_p - B z_u — divergence-only distributed apply.
             t = r[:, off:] - div_apply(z_u)
             t_free = jnp.where(statics.pin_p, 0.0, t)
-            # step 3: Schur action; the K_p solve is replicated (gather the
-            # owned pressure residual to the global space and back).
-            t_glob = (
-                jnp.zeros((npg + 1,), t_free.dtype)
-                .at[hfe.owned_verts.reshape(-1)]
-                .set(t_free[:, : hfe.n_op_max].reshape(-1))[:-1]
-            )
-            kp_inv_t = kp_solve(t_glob)
-            kp_pad = jnp.concatenate([kp_inv_t, jnp.zeros((1,), kp_inv_t.dtype)])
-            kinv_own = kp_pad[hfe.owned_verts]  # (P, n_op_max)
-            kinv_loc = jnp.concatenate(
-                [kinv_own, jnp.zeros((hfe.n_shards, hfe.n_hp_max), kinv_own.dtype)],
-                axis=1,
-            )
+            # step 3: Schur action.
+            if pops.dense:
+                # Dense strategy: replicated (gather the owned pressure
+                # residual to the global space and back).
+                t_glob = (
+                    jnp.zeros((npg + 1,), t_free.dtype)
+                    .at[hfe.owned_verts.reshape(-1)]
+                    .set(t_free[:, : hfe.n_op_max].reshape(-1))[:-1]
+                )
+                kp_inv_t = kp_solve(t_glob)
+                kp_pad = jnp.concatenate(
+                    [kp_inv_t, jnp.zeros((1,), kp_inv_t.dtype)]
+                )
+                kinv_own = kp_pad[hfe.owned_verts]  # (P, n_op_max)
+                kinv_loc = jnp.concatenate(
+                    [
+                        kinv_own,
+                        jnp.zeros((hfe.n_shards, hfe.n_hp_max), kinv_own.dtype),
+                    ],
+                    axis=1,
+                )
+            else:
+                kinv_loc = kp_dist(t_free)  # (P, n_lp) owned-valued
             z_p = -(rho / dt) * kinv_loc - (theta * nu) * (t_free / statics.mp_p)
             z_p = jnp.where(statics.pin_p, t, z_p)
             z = z_u.at[:, off:].set(z_p)
