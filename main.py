@@ -74,6 +74,12 @@ def parse_args(argv=None):
         help="CG/smoother budget of the K_p Schur solve (config.precond_kp_iters)",
     )
     p.add_argument(
+        "--newton-forcing", default=None, choices=["fixed", "ew"],
+        help="inner-tolerance forcing for Newton solves: fixed"
+        " gmres_rtol_newton (reference behavior) or Eisenstat-Walker"
+        " choice 2 (config.newton_forcing)",
+    )
+    p.add_argument(
         "--schur-dense-max", type=int, default=None,
         help="pressure-space size up to which K_p^{-1} is a precomputed dense"
         " inverse; above it the aggregation two-grid is used"
@@ -149,6 +155,8 @@ def main(argv=None):
         over["precond_kp_iters"] = args.kp_iters
     if args.schur_dense_max is not None:
         over["precond_schur_dense_max"] = args.schur_dense_max
+    if args.newton_forcing:
+        over["newton_forcing"] = args.newton_forcing
     if args.twolevel_cycles is not None:
         over["precond_twolevel_cycles"] = args.twolevel_cycles
     if args.operator_path:

@@ -129,6 +129,17 @@ class SolverConfig:
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2
+    # Inner-tolerance forcing strategy: "fixed" (gmres_rtol_newton every
+    # iteration — the reference's behavior) or "ew" (Eisenstat-Walker
+    # choice 2: eta_k = gamma (||F_k||/||F_{k-1}||)^alpha with the
+    # eta_{k-1}-safeguard and an oversolving floor 0.5*tol/||F_k|| — far
+    # from the root the Jacobian is a poor model, so a loose solve buys
+    # the same outer progress for fewer Krylov iterations).
+    newton_forcing: str = "fixed"  # "fixed" | "ew"
+    newton_forcing_eta_max: float = 0.5
+    newton_forcing_eta_min: float = 1e-4
+    newton_forcing_gamma: float = 0.9
+    newton_forcing_alpha: float = 2.0
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
     # A 3-iteration residual stall exits the Newton loop (the damping ladder

@@ -516,11 +516,37 @@ class NavierStokesSolver:
         b_hat = jnp.where(mask, 0.0, b)
         return Ad, b_hat, floor
 
-    def _newton_linear_solve(self, fe, pops, params, x, b_hat, Ad, d1, resid_args):
+    def _ew_eta(self, res, prev, eta_prev, it, res0):
+        """Eisenstat-Walker choice-2 forcing term for the NEXT inner solve.
+
+        eta_k = gamma (||F_k||/||F_{k-1}||)^alpha, safeguarded by
+        gamma*eta_{k-1}^alpha (when > 0.1) so the tolerance cannot collapse
+        after one lucky step, floored against oversolving past the outer
+        stopping test (max of the absolute and relative criteria), clamped
+        to [eta_min, eta_max].  Works traced (jnp scalars) and on host
+        floats.  [Eisenstat & Walker, SISC 17(1), 1996, eq. 2.6.]
+        """
+        cfg = self.cfg
+        g, a = cfg.newton_forcing_gamma, cfg.newton_forcing_alpha
+        raw = g * (res / jnp.maximum(prev, 1e-300)) ** a
+        sg = g * eta_prev**a
+        eta = jnp.where(sg > 0.1, jnp.maximum(raw, sg), raw)
+        eta = jnp.where(it == 0, cfg.newton_forcing_eta_max, eta)
+        target = jnp.maximum(cfg.newton_tolerance, cfg.newton_rtol * res0)
+        over = 0.5 * target / jnp.maximum(res, 1e-300)
+        return jnp.clip(
+            jnp.maximum(eta, over),
+            cfg.newton_forcing_eta_min, cfg.newton_forcing_eta_max,
+        )
+
+    def _newton_linear_solve(self, fe, pops, params, x, b_hat, Ad, d1, resid_args,
+                             rtol=None):
         """Damped update x + d2*dx with post-failure backtracking (jittable).
 
         Mirrors NavierStokes.cpp:1171-1198; ``d1`` is the pre-solve damping,
         the returned damping reflects the linear-failure reduction.
+        ``rtol``: inner forcing term (traced ok; defaults to the fixed
+        cfg.gmres_rtol_newton).
         """
         cfg = self.cfg
         quad = cfg.operator_path == "quadrature"
@@ -545,7 +571,7 @@ class NavierStokesSolver:
             fe, pops, Ad if op is None else None, b_hat,
             jnp.zeros_like(b_hat), params.dt, params.theta,
             jnp.zeros_like(x), cfg.gmres_maxiter_newton,
-            rtol=cfg.gmres_rtol_newton, op=op,
+            rtol=cfg.gmres_rtol_newton if rtol is None else rtol, op=op,
             diag=diag, u_adv=u_x,
             nodeblock_inv=nodeblock_inv, tile_blk=blk,
         )
@@ -580,12 +606,14 @@ class NavierStokesSolver:
         )
         return Ad, b_hat, jnp.linalg.norm(b_hat), floor
 
-    def _newton_slv_step(self, x, x_old, b_hat, Ad, t_new, theta, d1, fe, pops):
+    def _newton_slv_step(self, x, x_old, b_hat, Ad, t_new, theta, d1, rtol,
+                         fe, pops):
         params = self._newton_params(theta)
         u_old, _ = fe.split(x_old)
         f_new, f_old = self._forcing_at(fe, t_new, params.dt)
         return self._newton_linear_solve(
-            fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old)
+            fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old),
+            rtol=rtol,
         )
 
     def _newton_fin(self, state, t_new, x, ok, its, nits, res, fe):
@@ -624,6 +652,8 @@ class NavierStokesSolver:
         done = False
         res = float("inf")
         res_dev = jnp.asarray(0.0, self.dtype)
+        ew = cfg.newton_forcing == "ew"
+        eta = cfg.newton_forcing_eta_max
         for it in range(cfg.newton_max_iterations):
             Ad, b_hat, res_dev, floor_dev = self._newton_asm_jit(
                 x, state.x_old, t_new, th, fe, pops
@@ -652,9 +682,13 @@ class NavierStokesSolver:
                 d1 = max(0.05, d * 0.5)
             if res < 0.5 * prev and d1 < 1.0 - 1e-12:
                 d1 = min(1.0, d1 * 1.5)
+            if ew:
+                eta = float(self._ew_eta(res, prev, eta, it, res0))
+            rtol = eta if ew else cfg.gmres_rtol_newton
             x, d_dev, its_dev = self._newton_slv_jit(
                 x, state.x_old, b_hat, Ad, t_new, th,
-                jnp.asarray(d1, self.dtype), fe, pops,
+                jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
+                fe, pops,
             )
             d = float(d_dev)  # pull #2
             tg = tg + its_dev
@@ -693,12 +727,14 @@ class NavierStokesSolver:
         big = jnp.asarray(1e10, self.dtype)
         tol = cfg.newton_tolerance
 
+        ew = cfg.newton_forcing == "ew"
+
         def cond(c):
-            x, res, prev, res0, stall, damping, it, tg, done, ok = c
+            x, res, prev, res0, stall, damping, eta, it, tg, done, ok = c
             return (~done) & (it < cfg.newton_max_iterations)
 
         def body(c):
-            x, res_in, prev, res0, stall, damping, it, tg, _, _ = c
+            x, res_in, prev, res0, stall, damping, eta_prev, it, tg, _, _ = c
             Ad, b_hat, floor = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
@@ -715,6 +751,11 @@ class NavierStokesSolver:
             at_floor = res <= cfg.newton_stall_floor_factor * floor
             done = tol_hit | (stall >= 3)
             ok = tol_hit | ((stall >= 3) & at_floor)
+            eta = (
+                self._ew_eta(res, prev, eta_prev, it, res0)
+                if ew
+                else eta_prev
+            )
 
             def do_update(_):
                 # Adaptive damping (cpp:1163-1169).
@@ -729,7 +770,8 @@ class NavierStokesSolver:
                     d1,
                 )
                 return self._newton_linear_solve(
-                    fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old)
+                    fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old),
+                    rtol=eta if ew else None,
                 )
 
             def no_update(_):
@@ -737,16 +779,18 @@ class NavierStokesSolver:
 
             x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
             return (
-                x_out, res, res, res0, stall, d_out,
+                x_out, res, res, res0, stall, d_out, eta,
                 it + jnp.where(done, 0, 1), tg + g_its, done, ok,
             )
 
         init = (
             x0, big, big, big, jnp.asarray(0, jnp.int32),
-            jnp.asarray(1.0, self.dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, self.dtype),
+            jnp.asarray(cfg.newton_forcing_eta_max, self.dtype),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
         )
-        x, res, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
+        x, res, _, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
             cond, body, init
         )
         # Hitting the iteration cap without meeting any criterion is also

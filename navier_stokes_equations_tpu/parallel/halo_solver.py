@@ -770,13 +770,14 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         big = jnp.asarray(1e10, self.dtype)
         tol = cfg.newton_tolerance
+        ew = cfg.newton_forcing == "ew"
 
         def cond(c):
-            x, res, prev, res0, stall, damping, it, tg, done, ok = c
+            x, res, prev, res0, stall, damping, eta, it, tg, done, ok = c
             return (~done) & (it < cfg.newton_max_iterations)
 
         def body(c):
-            x, res_in, prev, res0, stall, damping, it, tg, _, _ = c
+            x, res_in, prev, res0, stall, damping, eta_prev, it, tg, _, _ = c
             b_hat, diag2, floor, tables = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
@@ -788,6 +789,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             done = tol_hit | (stall >= 3)
             ok = tol_hit | (
                 (stall >= 3) & (res <= cfg.newton_stall_floor_factor * floor)
+            )
+            eta = (
+                self._ew_eta(res, prev, eta_prev, it, res0)
+                if ew
+                else eta_prev
             )
 
             def do_update(_):
@@ -811,7 +817,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                     apply_a, b_hat.reshape(-1), precond=precond,
                     x0=jnp.zeros((Pn * hfe.n_ld,), self.dtype),
                     restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_newton,
-                    rtol=cfg.gmres_rtol_newton, alloc=cfg.gmres_alloc,
+                    rtol=eta if ew else cfg.gmres_rtol_newton,
+                    alloc=cfg.gmres_alloc,
                 )
                 lin_ok = sol.converged
                 d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
@@ -836,16 +843,18 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
             x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
             return (
-                x_out, res, res, res0, stall, d_out,
+                x_out, res, res, res0, stall, d_out, eta,
                 it + jnp.where(done, 0, 1), tg + g_its, done, ok,
             )
 
         init = (
             x0, big, big, big, jnp.asarray(0, jnp.int32),
-            jnp.asarray(1.0, self.dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, self.dtype),
+            jnp.asarray(cfg.newton_forcing_eta_max, self.dtype),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
         )
-        x, res, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
+        x, res, _, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
             cond, body, init
         )
         return self._halo_finalize(
@@ -882,7 +891,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
         return b_hat, diag2, floor, jnp.linalg.norm(b_hat), tables
 
-    def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, d1, t_new, theta,
+    def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, d1, rtol, t_new, theta,
                 hfe, pops, statics, fe):
         cfg = self.cfg
         params = self._hn_params(theta)
@@ -896,7 +905,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             apply_a, b_hat.reshape(-1), precond=precond,
             x0=jnp.zeros((Pn * hfe.n_ld,), self.dtype),
             restart=cfg.gmres_restart, maxiter=cfg.gmres_maxiter_newton,
-            rtol=cfg.gmres_rtol_newton, alloc=cfg.gmres_alloc,
+            rtol=rtol, alloc=cfg.gmres_alloc,
         )
         lin_ok = sol.converged
         d2 = jnp.where(lin_ok, d1, jnp.maximum(0.05, d1 * 0.25))
@@ -951,6 +960,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         iters = 0
         done = False
         res_dev = jnp.asarray(0.0, self.dtype)
+        ew = cfg.newton_forcing == "ew"
+        eta = cfg.newton_forcing_eta_max
         for it in range(cfg.newton_max_iterations):
             b_hat, diag2, floor_dev, res_dev, tables = self._hn_asm_jit(
                 x2, x_old2, t_new, th, hfe, pops, statics, fe
@@ -978,9 +989,13 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 d1 = max(0.05, d * 0.5)
             if res < 0.5 * prev and d1 < 1.0 - 1e-12:
                 d1 = min(1.0, d1 * 1.5)
+            if ew:
+                eta = float(self._ew_eta(res, prev, eta, it, res0))
+            rtol = eta if ew else cfg.gmres_rtol_newton
             x2, d_dev, its_dev = self._hn_slv_jit(
                 x2, x_old2, b_hat, diag2, tables,
-                jnp.asarray(d1, self.dtype), t_new, th, hfe, pops, statics, fe,
+                jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
+                t_new, th, hfe, pops, statics, fe,
             )
             d = float(d_dev)  # pull
             tg = tg + its_dev
