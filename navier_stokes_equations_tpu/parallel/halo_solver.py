@@ -50,7 +50,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import NonlinearMethod, SolverConfig, TimeScheme
 from ..models.solver import NavierStokesSolver, State, StepMetrics
 from ..ops import assembly, functionals, matfree
-from ..solvers import gmres, preconditioners
+from ..solvers import chebyshev, gmres, preconditioners
 from . import halo_fe as hf
 from . import halo_schur
 from . import sharding
@@ -90,6 +90,12 @@ class HaloStatics:
     probe_elems: Any  # (P, 2) int32 local element of each probe point (0 pad)
     probe_bary: Any  # (P, 2, n1) barycentric shape values
     probe_valid: Any  # (P, 2) 1.0 where this strip owns the probe element
+    # Owned-valued ones-velocity probe for the Chebyshev lmax power
+    # iteration (precond_vel_method="chebyshev"): 1.0 at owned REAL
+    # velocity slots, 0 at pads/halo/pressure — the owned-block
+    # representation of the single-chip probe (ones.at[n_u:].set(0)), so
+    # both layouts estimate the identical spectrum bound.
+    probe_u: Any = ()
     # Distributed Schur K_p statics (parallel/halo_schur.py); () when the
     # dense strategy keeps the replicated path.
     kp_diag_p: Any = ()  # (P, n_lp) regularized-K_p diagonal on owned slots
@@ -117,21 +123,22 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         device_mesh=None,
         n_q1d: int = 3,
     ):
-        if cfg.precond_vel_method not in ("jacobi", "p1coarse", "p1coarse_mult"):
+        if cfg.precond_vel_method not in (
+            "jacobi", "p1coarse", "p1coarse_mult", "chebyshev", "nodeblock"
+        ):
             raise NotImplementedError(
                 f"halo layout supports velocity preconditioners jacobi/"
-                f"p1coarse/p1coarse_mult, not {cfg.precond_vel_method!r}"
+                f"p1coarse/p1coarse_mult/chebyshev/nodeblock, not "
+                f"{cfg.precond_vel_method!r}"
             )
-        if cfg.precond_schur != "cc":
+        if cfg.precond_schur not in ("cc", "pcd"):
             raise NotImplementedError(
-                "halo layout implements the Cahouet-Chabard Schur action only"
-                f" (precond_schur='cc'), not {cfg.precond_schur!r}"
+                "halo layout implements the cc/pcd Schur actions, not "
+                f"{cfg.precond_schur!r}"
             )
-        if cfg.precond_structure != "triangular":
-            raise NotImplementedError(
-                "halo layout implements the block-triangular structure only"
-                f" (precond_structure='triangular'), not "
-                f"{cfg.precond_structure!r}"
+        if cfg.precond_structure not in ("triangular", "diagonal"):
+            raise ValueError(
+                f"unknown precond structure {cfg.precond_structure!r}"
             )
         if cfg.operator_path == "tile":
             raise NotImplementedError(
@@ -199,10 +206,18 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 ).items()
             }
         )
+        # Chebyshev lmax probe: ones at owned REAL velocity slots only.
+        own_real = np.asarray(self.hfe.owned_nodes) < self.hfe.n_vnodes_glob
+        probe_np = np.zeros((self.hfe.n_shards, self.hfe.n_ld), self.cfg.np_dtype())
+        for d in range(self.hfe.dim):
+            probe_np[:, d * self.hfe.n_ln : d * self.hfe.n_ln + self.hfe.n_on_max] = (
+                own_real.astype(probe_np.dtype)
+            )
         self.statics = HaloStatics(
             mask=put(mask_loc),
             pin_p=put(pin_loc[:, off:]),
             mp_p=put(mp_loc[:, off:]),
+            probe_u=put(jnp.asarray(probe_np)),
             vel_mask_glob=jax.device_put(
                 vel_mask_glob, NamedSharding(self.device_mesh, P())
             ),
@@ -501,6 +516,147 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         return div_apply
 
+    def _make_vel_apply(self, hfe, statics, params, tables, newton: bool = False):
+        """Velocity-block-only distributed apply (Chebyshev smoothing).
+
+        Mirrors the single-chip wrapper in models/solver.py::_solve_linear
+        exactly: zero constrained input columns, apply only the velocity
+        rows of the operator, identity on constrained rows — so the halo
+        Chebyshev polynomial smooths the identical matrix and the Krylov
+        iteration counts coincide across layouts.
+        """
+        use_supg = self.cfg.use_supg
+        off = hfe.dim * hfe.n_ln
+
+        def body(fe_stack, tables, send_n, send_v, mask2, z2, params):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            tab = _unpack(jax.tree.map(lambda a: a[0], tables), use_supg, newton)
+            sn, sv = send_n[0], send_v[0]
+            zf = jnp.where(mask2[0], 0.0, z2[0]).at[off:].set(0.0)
+            x = hf.import_halo(hfe, zf, sn, sv)
+            op = matfree.make_system_operator(fe_loc, params, tables=tab)
+            y = hf.export_halo(hfe, op.velocity_block(x), sn, sv)
+            y = y.at[off:].set(0.0)
+            return jnp.where(mask2[0], z2[0], y)[None]
+
+        mapped = self._shmap(body, n_in=6, n_scalar=1)
+
+        def vel_apply(z_flat):
+            z2 = z_flat.reshape(hfe.n_shards, hfe.n_ld)
+            y = mapped(
+                hfe.fe_stack, tables, hfe.send_nodes, hfe.send_verts,
+                statics.mask, z2, params,
+            )
+            return y.reshape(-1)
+
+        return vel_apply
+
+    def _make_fp_apply(self, hfe, params, tables):
+        """w = F_p y (PCD reaction operator) on (P, n_lp) owned vectors.
+
+        F_p = (rho/dt) M_p + theta (nu K_p + N_p(u_adv)) with the advection
+        field taken from this step's quadrature tables (u* for Oseen, u_k
+        for Newton) — the distributed mirror of the nodal PCD branch in
+        solvers/preconditioners.py::make_schur_action.  Strip-local element
+        integrals + one pressure-sized halo export; no replicated gather.
+        """
+        use_supg = self.cfg.use_supg
+        newton_tables = len(tables) >= (4 if use_supg else 3)
+
+        def body(fe_stack, tables, send_v, y2, params):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            tab = _unpack(
+                jax.tree.map(lambda a: a[0], tables), use_supg, newton_tables
+            )
+            uadv_q = tab[0]  # (n_el_loc, q, dim) advection at quad points
+            sv = send_v[0]
+            y = hf.import_halo_p(hfe, y2[0], sv)
+            y_e = y[fe_loc.elems_p1]
+            AF_e = (params.rho / params.dt) * fe_loc.mp_e + (
+                params.theta * params.nu
+            ) * fe_loc.kp_e
+            w_e = jnp.einsum("ecf,ef->ec", AF_e, y_e)
+            g1p = fe_loc.phys_grads_p1()
+            gy = jnp.einsum("ec,ecd->ed", y_e, g1p)
+            adv = jnp.einsum("eqd,ed->eq", uadv_q, gy)
+            w_e = w_e + params.theta * jnp.einsum(
+                "eq,qc,eq->ec", fe_loc.jxw, fe_loc.p1_val, adv
+            )
+            return hf.export_halo_p(hfe, fe_loc.accumulate_p(w_e), sv)[None]
+
+        mapped = self._shmap(body, n_in=4, n_scalar=1)
+
+        def fp_apply(y2):
+            return mapped(hfe.fe_stack, tables, hfe.send_verts, y2, params)
+
+        return fp_apply
+
+    def _halo_nodeblock_inv(
+        self, hfe, statics, params, x2, x_oo2=None, first_order=None,
+        newton: bool = False,
+    ):
+        """Per-node dim x dim velocity block inverses on the halo layout.
+
+        Assembles assembly.oseen_nodeblock_diag on each strip's advection
+        field (u* extrapolated for Oseen, u_k for Newton — same kernel as
+        the single-chip _nodeblock_inv), exports the dim block columns as
+        velocity fields, and inverts the fully-summed owned blocks.
+        Dirichlet rows/columns and inert pad/halo slots become identity
+        blocks, matching the single-chip masking.
+        """
+        dim, off = hfe.dim, hfe.dim * hfe.n_ln
+
+        def body(fe_stack, send_n, send_v, xa2, xb2, params, first_order):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            sn, sv = send_n[0], send_v[0]
+            x_a = hf.import_halo(hfe, xa2[0], sn, sv)
+            u_a, _ = hf.local_fields(hfe, x_a)
+            if newton:
+                u_adv = u_a
+            else:
+                x_b = hf.import_halo(hfe, xb2[0], sn, sv)
+                u_b, _ = hf.local_fields(hfe, x_b)
+                u_adv = assembly.extrapolate_advection(u_a, u_b, first_order)
+            Bn = assembly.oseen_nodeblock_diag(fe_loc, params, u_adv)
+            Bacc = fe_loc.accumulate_nodes(
+                Bn.reshape(fe_loc.n_el, fe_loc.n2, dim * dim)
+            ).reshape(hfe.n_ln, dim, dim)
+            cols = []
+            for f in range(dim):
+                vec = jnp.concatenate(
+                    [
+                        Bacc[:, :, f].T.reshape(-1),
+                        jnp.zeros((hfe.n_lp,), Bacc.dtype),
+                    ]
+                )
+                cols.append(hf.export_halo(hfe, vec, sn, sv))
+            return jnp.stack(cols)[None]  # (1, dim_f, n_ld)
+
+        mapped = self._shmap(body, n_in=5, n_scalar=2)
+        x_oo2 = x2 if x_oo2 is None else x_oo2
+        first_order = (
+            jnp.asarray(True) if first_order is None else first_order
+        )
+        nb = mapped(
+            hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x2, x_oo2,
+            params, first_order,
+        )  # (P, dim_f, n_ld)
+        Pn = hfe.n_shards
+        vel = nb[:, :, :off].reshape(Pn, dim, dim, hfe.n_ln)  # [p, f, d, n]
+        B = vel.transpose(0, 3, 2, 1)  # [p, n, d, f]
+        mu = (
+            statics.mask[:, :off]
+            .reshape(Pn, dim, hfe.n_ln)
+            .transpose(0, 2, 1)
+        )  # [p, n, d]
+        either = mu[..., :, None] | mu[..., None, :]
+        eye = jnp.eye(dim, dtype=B.dtype)
+        B = jnp.where(either, eye, B)
+        # Pads / halo slots accumulate nothing -> zero diagonal -> identity.
+        inert = (jnp.abs(B[..., 0, 0]) < 1e-30)[..., None, None]
+        B = jnp.where(inert, eye, B)
+        return assembly.invert_spd_blocks(B)  # (P, n_ln, dim, dim)
+
     def _make_kp_dist(self, hfe, statics, pops):
         """Shard_mapped distributed K_p solve on (P, n_lp) owned residuals.
 
@@ -544,16 +700,29 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return kp_dist
 
     def _make_halo_precond(self, hfe, statics, pops, fe, params, diag2,
-                           div_apply, apply_a=None):
-        """Cahouet-Chabard on the owned layout.
+                           div_apply, apply_a=None, tables=None, nbinv=None,
+                           newton=False):
+        """Block preconditioner on the owned layout.
 
-        Velocity step: owned-local Jacobi, plus (``precond_vel_method=
-        "p1coarse"``/``"p1coarse_mult"``) the P1-coarse correction with a
-        REPLICATED coarse solve — the coarse residual is vertex-sized,
-        gathered to the global space exactly like the Schur's pressure
-        residual below.  The multiplicative variant post-smooths with one
-        distributed matvec (``apply_a``: the trial pressure is zero so its
-        velocity rows are exactly A_vv z_c).
+        Velocity step: owned-local Jacobi (default), the P1-coarse
+        correction with a REPLICATED coarse solve (``p1coarse*`` — the
+        coarse residual is vertex-sized, gathered to the global space
+        exactly like the Schur's pressure residual below; the
+        multiplicative variant post-smooths with one distributed matvec —
+        ``apply_a``: the trial pressure is zero so its velocity rows are
+        exactly A_vv z_c), a distributed Chebyshev polynomial
+        (``chebyshev`` — lmax re-estimated per build by a power iteration
+        of distributed velocity-block applies), or per-node dim x dim
+        block inverses (``nodeblock`` — assembled and exported once per
+        build, ``nbinv``).
+
+        Schur step: Cahouet-Chabard (default) or PCD (``precond_schur=
+        "pcd"`` — the F_p reaction applied strip-local via
+        :meth:`_make_fp_apply`, advection from this step's ``tables``).
+
+        ``precond_structure="diagonal"`` skips the divergence coupling
+        (t = r_p instead of r_p - B z_u), the halo mirror of the nodal
+        block-diagonal option (reference: NavierStokes.hpp:242-277).
         """
         cfg = self.cfg
         off = hfe.dim * hfe.n_ln
@@ -580,14 +749,42 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             )
             vmask_glob = statics.vel_mask_glob
+        cheby = cfg.precond_vel_method == "chebyshev"
+        if cheby:
+            vel_apply = self._make_vel_apply(
+                hfe, statics, params, tables, newton=newton
+            )
+            diag_flat = diag2.reshape(-1)
+            lmax = chebyshev.estimate_lmax(
+                vel_apply, diag_flat, statics.probe_u.reshape(-1), iters=8
+            )
+        fp_apply = (
+            self._make_fp_apply(hfe, params, tables)
+            if cfg.precond_schur == "pcd"
+            else None
+        )
 
         def precond(r_flat):
             r = r_flat.reshape(hfe.n_shards, hfe.n_ld)
             r_u = r.at[:, off:].set(0.0)
-            # step 1: Jacobi velocity solve (owned-local; reference ILU(1),
+            # step 1: velocity solve (owned-local; reference ILU(1),
             # NavierStokes.hpp:301-304).
-            z_u = jnp.where(statics.mask, 0.0, r_u / diag2)
-            z_u = z_u.at[:, off:].set(0.0)
+            if cheby:
+                z_u = chebyshev.chebyshev(
+                    vel_apply, r_u.reshape(-1), diag_flat, lmax,
+                    degree=cfg.precond_vel_degree,
+                ).reshape(r.shape)
+                z_u = jnp.where(statics.mask, 0.0, z_u).at[:, off:].set(0.0)
+            elif cfg.precond_vel_method == "nodeblock":
+                r_u2 = r[:, :off].reshape(hfe.n_shards, hfe.dim, hfe.n_ln)
+                z2 = jnp.einsum("pndf,pfn->pdn", nbinv, r_u2)
+                z_u = jnp.zeros_like(r).at[:, :off].set(
+                    z2.reshape(hfe.n_shards, off)
+                )
+                z_u = jnp.where(statics.mask, 0.0, z_u)
+            else:
+                z_u = jnp.where(statics.mask, 0.0, r_u / diag2)
+                z_u = z_u.at[:, off:].set(0.0)
             if p1c:
                 # P1-coarse correction (replicated, like the Schur).
                 r2 = jnp.where(vmask_glob, 0.0, hf.gather_vel(hfe, r))
@@ -603,8 +800,12 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                     z_u = jnp.where(statics.mask, 0.0, z_u)
                 else:
                     z_u = z_u + zc
-            # step 2: t = r_p - B z_u — divergence-only distributed apply.
-            t = r[:, off:] - div_apply(z_u)
+            # step 2: t = r_p - B z_u — divergence-only distributed apply
+            # (skipped by the block-diagonal structure: t = r_p).
+            if cfg.precond_structure == "diagonal":
+                t = r[:, off:]
+            else:
+                t = r[:, off:] - div_apply(z_u)
             t_free = jnp.where(statics.pin_p, 0.0, t)
             # step 3: Schur action.
             if pops.dense:
@@ -629,7 +830,17 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 )
             else:
                 kinv_loc = kp_dist(t_free)  # (P, n_lp) owned-valued
-            z_p = -(rho / dt) * kinv_loc - (theta * nu) * (t_free / statics.mp_p)
+            if fp_apply is not None:
+                # PCD: S^{-1} ~ -M_p^{-1} F_p K_p^{-1} (Elman-Silvester-
+                # Wathen) — identical mathematics to the nodal branch in
+                # preconditioners.make_schur_action, distributed.
+                y = jnp.where(statics.pin_p, 0.0, kinv_loc)
+                w = fp_apply(y)
+                z_p = -jnp.where(statics.pin_p, 0.0, w) / statics.mp_p
+            else:
+                z_p = -(rho / dt) * kinv_loc - (theta * nu) * (
+                    t_free / statics.mp_p
+                )
             z_p = jnp.where(statics.pin_p, t, z_p)
             z = z_u.at[:, off:].set(z_p)
             z = jnp.where(statics.mask, r, z)
@@ -678,8 +889,19 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         apply_a = self._make_matvec(hfe, statics, params, tables)
         div_apply = self._make_div_apply(hfe, params)
+        nbinv = (
+            self._halo_nodeblock_inv(
+                hfe, statics, params,
+                state.x_old.reshape(hfe.n_shards, hfe.n_ld),
+                state.x_old_old.reshape(hfe.n_shards, hfe.n_ld),
+                first_order,
+            )
+            if cfg.precond_vel_method == "nodeblock"
+            else None
+        )
         precond = self._make_halo_precond(
-            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a
+            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a,
+            tables=tables, nbinv=nbinv,
         )
         res = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond, x0=x0.reshape(-1),
@@ -809,9 +1031,16 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 )
                 apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
                 div_apply = self._make_div_apply(hfe, params)
+                nbinv = (
+                    self._halo_nodeblock_inv(
+                        hfe, statics, params, x, newton=True
+                    )
+                    if cfg.precond_vel_method == "nodeblock"
+                    else None
+                )
                 precond = self._make_halo_precond(
                     hfe, statics, pops, fe, params, diag2, div_apply,
-                    apply_a=apply_a,
+                    apply_a=apply_a, tables=tables, nbinv=nbinv, newton=True,
                 )
                 sol = gmres.fgmres(
                     apply_a, b_hat.reshape(-1), precond=precond,
@@ -898,8 +1127,14 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         Pn = hfe.n_shards
         apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
         div_apply = self._make_div_apply(hfe, params)
+        nbinv = (
+            self._halo_nodeblock_inv(hfe, statics, params, x2, newton=True)
+            if cfg.precond_vel_method == "nodeblock"
+            else None
+        )
         precond = self._make_halo_precond(
-            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a
+            hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a,
+            tables=tables, nbinv=nbinv, newton=True,
         )
         sol = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond,
