@@ -70,6 +70,11 @@ def parse_args(argv=None):
         help="GMRES stopping normalization (config.gmres_criterion)",
     )
     p.add_argument(
+        "--gmres-dots", default=None, choices=["plain", "chunked"],
+        help="Krylov inner-product evaluation: plain or two-level chunked"
+        " f32 accumulation (config.gmres_dots; single-chip layouts)",
+    )
+    p.add_argument(
         "--kp-iters", type=int, default=None,
         help="CG/smoother budget of the K_p Schur solve (config.precond_kp_iters)",
     )
@@ -151,6 +156,8 @@ def main(argv=None):
         over["precond_structure"] = args.precond_structure
     if args.criterion:
         over["gmres_criterion"] = args.criterion
+    if args.gmres_dots:
+        over["gmres_dots"] = args.gmres_dots
     if args.kp_iters is not None:
         over["precond_kp_iters"] = args.kp_iters
     if args.schur_dense_max is not None:

@@ -126,6 +126,11 @@ class SolverConfig:
     # coasting (the measured mesh-3D-xfine failure mode), while the
     # validated bench regime keeps its cheaper criterion.
     gmres_criterion: str = "auto"
+    # Inner-product evaluation: "plain" (validated trajectories) or
+    # "chunked" (two-level f32 accumulation — cuts the MXU sequential
+    # K-tile roundoff ~5x at zero cost; candidate cure for the ~1.6x
+    # f32 iteration overhead at rtol<=1e-5, measure before adopting).
+    gmres_dots: str = "plain"
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2

@@ -242,6 +242,7 @@ class NavierStokesSolver:
             alloc=cfg.gmres_alloc,
             weight=tiles.wmask.reshape(-1),
             criterion=self._gmres_criterion,
+            dots=cfg.gmres_dots,
         )
         return res._replace(x=tile_operator.from_tiles(fe, tiles, res.x))
 
@@ -305,6 +306,7 @@ class NavierStokesSolver:
             rtol=cfg.gmres_rtol if rtol is None else rtol,
             alloc=cfg.gmres_alloc,
             criterion=self._gmres_criterion,
+            dots=cfg.gmres_dots,
         )
         return res
 

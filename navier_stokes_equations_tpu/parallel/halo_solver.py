@@ -140,6 +140,13 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             raise ValueError(
                 f"unknown precond structure {cfg.precond_structure!r}"
             )
+        if cfg.gmres_dots != "plain":
+            raise NotImplementedError(
+                "halo layout keeps plain inner products (a chunked reshape "
+                "of the block-sharded vector would cross shard boundaries "
+                "and force XLA resharding collectives); gmres_dots="
+                f"{cfg.gmres_dots!r} is single-chip only"
+            )
         if cfg.operator_path == "tile":
             raise NotImplementedError(
                 "halo layout evaluates operators through its shard_mapped "

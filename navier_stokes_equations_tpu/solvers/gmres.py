@@ -50,6 +50,7 @@ def fgmres(
     alloc: int | None = None,
     weight: jnp.ndarray | None = None,
     criterion: str = "rhs",
+    dots: str = "plain",
 ) -> GmresResult:
     """Solve A x = b with right-preconditioned FGMRES(restart).
 
@@ -78,6 +79,16 @@ def fgmres(
     slots — pass the 0/1 owner mask so duplicated entries count once;
     with consistent vectors this reproduces the nodal Krylov trajectory
     exactly.
+
+    ``dots="chunked"`` evaluates every inner product / norm as chunked
+    partial sums (8192-element MXU partials, then a second-level
+    reduction).  An f32 dot of length n accumulates ~sqrt(n/tile)*eps
+    relative roundoff through the MXU's sequential K-tile accumulation
+    (~1e-5 at 1e6 dofs — the same order as a tight rtol), which is the
+    suspected source of the measured ~1.6x f32-vs-f64 iteration overhead
+    at rtol<=1e-5; two-level accumulation cuts it ~5x for free (same
+    FLOPs, no f64 emulation — x64 stays off on TPU).  Default "plain"
+    keeps the exact validated trajectories.
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -93,6 +104,30 @@ def fgmres(
     else:
         wnorm = lambda v: jnp.sqrt(jnp.sum(weight * v * v))
         wdot = lambda v: weight * v
+
+    if dots == "chunked":
+        CH = 8192
+        nc = -(-n // CH)
+        n_pad = nc * CH
+        pad1 = lambda v: jnp.pad(v, (0, n_pad - n))
+
+        def wnorm(v):  # noqa: F811 — chunked override
+            p = pad1(v * wdot(v)).reshape(nc, CH).sum(axis=1)
+            return jnp.sqrt(p.sum())
+
+        def proj(V, w, mask):
+            part = jnp.einsum(
+                "kcj,cj->kc",
+                V.reshape(m + 1, nc, CH),
+                pad1(wdot(w)).reshape(nc, CH),
+            )
+            return part.sum(axis=1) * mask
+    elif dots == "plain":
+        n_pad = n
+        pad1 = lambda v: v
+        proj = lambda V, w, mask: (V @ wdot(w)) * mask
+    else:
+        raise ValueError(f"unknown dots mode {dots!r}")
 
     b_norm = wnorm(b)
     if criterion == "defect":
@@ -121,13 +156,15 @@ def fgmres(
         r = b - apply_a(x)
         beta = wnorm(r)
 
-        V = jnp.zeros((m + 1, n), dtype)
+        V = jnp.zeros((m + 1, n_pad), dtype)
         Z = jnp.zeros((m, n), dtype)
         R = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros((m,), dtype)
         sn = jnp.zeros((m,), dtype)
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
-        V = V.at[0].set(jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1.0), r))
+        V = V.at[0].set(
+            pad1(jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1.0), r))
+        )
 
         def inner_cond(c):
             V, Z, R, cs, sn, g, k, it, res = c
@@ -135,20 +172,22 @@ def fgmres(
 
         def inner_body(c):
             V, Z, R, cs, sn, g, k, it, res = c
-            z = precond(V[k])
+            z = precond(V[k][:n])
             w = apply_a(z)
             Z = Z.at[k].set(z)
 
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
             # CGS2: two full-basis projections (big matmuls on the MXU).
-            h1 = (V @ wdot(w)) * mask
-            w = w - V.T @ h1
-            h2 = (V @ wdot(w)) * mask
-            w = w - V.T @ h2
+            h1 = proj(V, w, mask)
+            w = w - (V.T @ h1)[:n]
+            h2 = proj(V, w, mask)
+            w = w - (V.T @ h2)[:n]
             h = h1 + h2
             wn = wnorm(w)
             col = h.at[k + 1].set(wn)
-            V = V.at[k + 1].set(jnp.where(wn > 0, w / jnp.where(wn > 0, wn, 1.0), w))
+            V = V.at[k + 1].set(
+                pad1(jnp.where(wn > 0, w / jnp.where(wn > 0, wn, 1.0), w))
+            )
 
             # Apply previous rotations to the new column.
             def rot_body(j, col):

@@ -116,3 +116,32 @@ def test_fgmres_defect_criterion_vs_rhs_on_warm_start():
     # the Givens estimate vs the true residual.
     bn = float(jnp.linalg.norm(b))
     assert r_end <= 1.5 * max(1e-2 * r0, 1e-6 * bn)
+
+
+def test_fgmres_chunked_dots_matches_plain():
+    """dots='chunked' (two-level accumulation) solves the same system.
+
+    In f64 the roundoff difference is negligible, so the chunked and plain
+    trajectories must agree to solver tolerance; n is chosen to exercise
+    the pad-to-chunk path (n % 8192 != 0).
+    """
+    A, b = _random_system(257, seed=5)
+    plain = gmres.fgmres(lambda v: A @ v, b, restart=80, maxiter=300, rtol=1e-9)
+    chunk = gmres.fgmres(
+        lambda v: A @ v, b, restart=80, maxiter=300, rtol=1e-9, dots="chunked"
+    )
+    assert bool(chunk.converged)
+    assert abs(int(chunk.iterations) - int(plain.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(chunk.x), np.asarray(plain.x), atol=1e-7)
+
+
+def test_fgmres_chunked_dots_with_weight():
+    """Chunked accumulation composes with the owner-mask weight."""
+    A, b = _random_system(100, seed=6)
+    wt = jnp.ones_like(b)
+    res = gmres.fgmres(
+        lambda v: A @ v, b, restart=60, maxiter=120, rtol=1e-9,
+        weight=wt, dots="chunked",
+    )
+    assert bool(res.converged)
+    assert np.linalg.norm(np.asarray(A @ res.x - b)) <= 1e-7 * np.linalg.norm(b)
