@@ -54,9 +54,13 @@ RUNS = {
         "forces_3d3z_mesh-3D-medium_tpu_f32_p1coarse.txt",
     ),
     # Corridor-closure rung (~45 min on one chip; not in the default set).
+    # --criterion rhs is EXPLICIT: gmres_criterion="auto" (the default)
+    # selects "defect" above 500k dofs, which is the 3x-iterations
+    # companion below — this entry is the validated-cost 'rhs' variant.
     "2d2_855k": (
         ["--case", "2D-2", "--mesh", os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
-         "--deltat", "0.0025", "--operator-path", "tile", "--tile-elements", "16"],
+         "--deltat", "0.0025", "--operator-path", "tile", "--tile-elements", "16",
+         "--criterion", "rhs"],
         "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
     ),
     # Tolerance-sensitivity companion: same rung, defect-normalized stopping
