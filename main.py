@@ -70,6 +70,12 @@ def parse_args(argv=None):
         help="GMRES stopping normalization (config.gmres_criterion)",
     )
     p.add_argument(
+        "--linear-driver", default=None, choices=["auto", "fused", "host"],
+        help="linearized-path Krylov driver: fused in-program FGMRES or"
+        " host-segmented bounded device calls (config.linear_driver;"
+        " auto switches to host above 400k dofs)",
+    )
+    p.add_argument(
         "--gmres-dots", default=None, choices=["plain", "chunked"],
         help="Krylov inner-product evaluation: plain or two-level chunked"
         " f32 accumulation (config.gmres_dots; single-chip layouts)",
@@ -158,6 +164,8 @@ def main(argv=None):
         over["gmres_criterion"] = args.criterion
     if args.gmres_dots:
         over["gmres_dots"] = args.gmres_dots
+    if args.linear_driver:
+        over["linear_driver"] = args.linear_driver
     if args.kp_iters is not None:
         over["precond_kp_iters"] = args.kp_iters
     if args.schur_dense_max is not None:

@@ -131,6 +131,19 @@ class SolverConfig:
     # K-tile roundoff ~5x at zero cost; candidate cure for the ~1.6x
     # f32 iteration overhead at rtol<=1e-5, measure before adopting).
     gmres_dots: str = "plain"
+    # Linearized-path Krylov driver: "fused" runs the whole FGMRES inside
+    # the jitted attempt program (fast dispatch; device-call length grows
+    # with the iteration count), "host" splits the solve into
+    # gmres_segment_its-iteration jitted segments with a host loop between
+    # them, bounding every device call — the TPU worker KILLS programs
+    # that run minutes (observed: the 1.36M-dof defect-criterion attempt),
+    # the same failure newton_driver="host" guards against.  "auto"
+    # selects "host" above 400k dofs (every validated fused regime sits
+    # below; the segment restart at gmres_segment_its only alters
+    # trajectories that exceed it, which at that scale are exactly the
+    # watchdog-risk solves).
+    linear_driver: str = "auto"
+    gmres_segment_its: int = 48
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2

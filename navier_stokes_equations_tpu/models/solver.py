@@ -159,6 +159,28 @@ class NavierStokesSolver:
                 "cliff)",
                 flush=True,
             )
+        # Host-segmented linearized Krylov (bounded device-call length) for
+        # large meshes — see config.linear_driver.  The fused attempt at
+        # 1.36M dofs with the defect criterion packs up to
+        # gmres_maxiter_linear iterations into ONE device program, which
+        # the TPU worker kills ("crashed or restarted") exactly like the
+        # minutes-long fused Newton step newton_driver guards against.
+        self._linear_host = cfg.linear_driver == "host" or (
+            cfg.linear_driver == "auto" and self.fe.n_dofs > 400_000
+        )
+        if cfg.operator_path == "element" and self._linear_host:
+            raise NotImplementedError(
+                "linear_driver='host' segments the matrix-free paths "
+                "(quadrature/tile); the element path keeps the fused solve"
+            )
+        if cfg.tile_resident and self._linear_host:
+            raise NotImplementedError(
+                "linear_driver='host' and tile_resident=True are exclusive "
+                "(the resident Krylov state lives inside one program)"
+            )
+        self._lin_setup_jit = jax.jit(self._lin_setup)
+        self._lin_seg_jit = jax.jit(self._lin_segment)
+        self._lin_fin_jit = jax.jit(self._lin_fin)
         self._newton_asm_jit = jax.jit(self._newton_asm_step)
         self._newton_slv_jit = jax.jit(self._newton_slv_step)
         self._newton_fin_jit = jax.jit(self._newton_fin)
@@ -854,6 +876,170 @@ class NavierStokesSolver:
             jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype),
         )
 
+    # --- host-segmented linearized Krylov (config.linear_driver) --------
+    #
+    # The fused attempt program contains the FULL FGMRES while_loop: its
+    # device-call length grows with the iteration count, and the TPU
+    # worker kills calls that run minutes (the 1.36M-dof defect-criterion
+    # attempt died this way).  These three jitted pieces bound every call:
+    # setup (assembly + operator ingredients + the stopping tolerance),
+    # a gmres_segment_its-iteration FGMRES segment (host-looped; a
+    # segment boundary is mathematically a GMRES restart), finalize.
+    # The stopping tolerance is computed ONCE in setup and passed to every
+    # segment as an absolute tolerance — recomputing the defect norm per
+    # segment would relax the criterion as x improves.
+
+    def _lin_trial_setup(self, state: State, k, fe):
+        """Shared trial parameterization (mirrors _linearized_attempt)."""
+        cfg = self.cfg
+        theta0 = jnp.asarray(cfg.theta, self.dtype)
+        theta_eff = jnp.where(
+            state.first_step & (cfg.time_scheme == TimeScheme.CRANK_NICOLSON),
+            jnp.asarray(1.0, self.dtype),
+            theta0,
+        )
+        is_be = cfg.time_scheme == TimeScheme.BACKWARD_EULER
+        dt_att, force_be = self._trial_params(k)
+        th = jnp.where(force_be, jnp.asarray(1.0, self.dtype), theta_eff)
+        first_order = state.first_step | state.second_step | force_be | is_be
+        return dt_att, th, first_order
+
+    def _lin_params(self, dt_att, th):
+        cfg = self.cfg
+        return assembly.StepParams(
+            dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
+            rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
+        )
+
+    def _lin_setup(self, state: State, k, fe, pops):
+        """Jitted piece 1: assembly + operator ingredients + tolerance."""
+        cfg = self.cfg
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        dt_att, th, first_order = self._lin_trial_setup(state, k, fe)
+        params = self._lin_params(dt_att, th)
+        g = self.dirichlet.values(cfg.inlet_profile, t_new)
+        u_old, _ = fe.split(state.x_old)
+        u_oo, _ = fe.split(state.x_old_old)
+        u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
+        x_start = (
+            state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
+        )
+        f_new, f_old = self._forcing_at(fe, t_new, dt_att)
+        diag_e, b_e = assembly.oseen_rhs_diag(fe, params, u_star, u_old, f_new, f_old)
+        b = operators.scatter_add(fe, b_e)
+        diag = self._global_diag(fe, diag_e)
+        nbinv = self._nodeblock_inv(fe, params, u_star)
+        if cfg.operator_path == "tile":
+            if cfg.use_supg:
+                dvv, cvv, avp, apv, _ = assembly.oseen_blocks(
+                    fe, params, u_star, u_old, f_new, f_old
+                )
+                tb = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+            else:
+                tb = tile_operator.build_tile_blocks_oseen(fe, fe.tiles, params, u_star)
+            op = tile_operator.make_tile_operator(fe, fe.tiles, tb)
+        else:
+            tab = matfree.advection_tables(fe, params, u_star)
+            tb = tuple(t for t in tab if t is not None)
+            op = matfree.make_system_operator(fe, params, tables=tab)
+        mask = self.dirichlet.mask
+        b_hat = jnp.where(mask, g, b)
+        x0 = jnp.where(mask, g, x_start)
+        apply_a = operators.row_constrain_operator(op, mask)
+        # Stopping tolerance — same rule as gmres.fgmres, fixed per trial.
+        b_norm = jnp.linalg.norm(b_hat)
+        if self._gmres_criterion == "defect":
+            tol = jnp.maximum(
+                cfg.gmres_rtol * jnp.linalg.norm(b_hat - apply_a(x0)),
+                1e-6 * b_norm,
+            )
+        else:
+            tol = cfg.gmres_rtol * b_norm
+        return b_hat, x0, tol, diag, nbinv, u_star, tb, dt_att, th
+
+    def _lin_segment(self, x, b_hat, tol, diag, nbinv, u_star, tb, dt_att, th,
+                     fe, pops):
+        """Jitted piece 2: one bounded FGMRES segment from iterate ``x``."""
+        cfg = self.cfg
+        params = self._lin_params(dt_att, th)
+        if cfg.operator_path == "tile":
+            op = tile_operator.make_tile_operator(fe, fe.tiles, tb)
+        else:
+            it = iter(tb)
+            tab = (next(it), next(it), None, next(it) if cfg.use_supg else None)
+            op = matfree.make_system_operator(fe, params, tables=tab)
+        mask = self.dirichlet.mask
+        n_u = fe.n_udofs
+        apply_a = operators.row_constrain_operator(op, mask)
+
+        def vel_apply(z):
+            zf = jnp.where(mask, 0.0, z.at[n_u:].set(0.0))
+            y = op.velocity_block(zf).at[n_u:].set(0.0)
+            return jnp.where(mask, z, y)
+
+        def div_apply(z_u):
+            return op.divergence(jnp.where(mask, 0.0, z_u))
+
+        precond = preconditioners.make_cahouet_chabard(
+            fe, pops, None, mask,
+            dt=dt_att, theta=th, nu=self.nu, rho=cfg.rho,
+            vel_sweeps=cfg.precond_vel_sweeps, kp_iters=cfg.precond_kp_iters,
+            vel_method=cfg.precond_vel_method, vel_degree=cfg.precond_vel_degree,
+            vel_apply=vel_apply, div_apply=div_apply, diag=diag,
+            nodeblock_inv=nbinv,
+            twolevel_cycles=cfg.precond_twolevel_cycles,
+            p1_iters=cfg.precond_p1_iters,
+            schur=cfg.precond_schur, u_adv=u_star,
+            gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
+            structure=cfg.precond_structure,
+        )
+        seg = cfg.gmres_segment_its
+        res = gmres.fgmres(
+            apply_a, b_hat, precond=precond, x0=x,
+            restart=min(seg, cfg.gmres_restart), maxiter=seg,
+            rtol=0.0, atol=tol, alloc=cfg.gmres_alloc,
+            criterion="rhs", dots=cfg.gmres_dots,
+        )
+        return res.x, res.converged, res.iterations, res.residual
+
+    def _lin_fin(self, state: State, k, x, ok, its, fe, pops):
+        """Jitted piece 3: accept the trial iterate (functionals + shift)."""
+        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        dt_att, _, _ = self._lin_trial_setup(state, k, fe)
+        return self._finalize(
+            state, t_new, fe, x, ok, its, dt_att,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype),
+        )
+
+    def _attempt_host(self, state: State, k: int):
+        """One ladder trial with host-segmented FGMRES (device metrics)."""
+        cfg = self.cfg
+        fe, pops = self.fe, self.pressure_ops
+        kc = self._k_consts[k]
+        b_hat, x, tol, diag, nbinv, u_star, tb, dt_att, th = self._lin_setup_jit(
+            state, kc, fe, pops
+        )
+        total = 0
+        ok = False
+        n_segs = -(-cfg.gmres_maxiter_linear // cfg.gmres_segment_its)
+        for _ in range(n_segs):
+            x, okd, itd, _ = self._lin_seg_jit(
+                x, b_hat, tol, diag, nbinv, u_star, tb, dt_att, th, fe, pops
+            )
+            # One stacked pull per segment (segments are seconds-long at
+            # the scales that select this driver).
+            vals = np.asarray(
+                jnp.stack([okd.astype(jnp.float32), itd.astype(jnp.float32)])
+            )
+            total += int(vals[1])
+            if bool(vals[0]):
+                ok = True
+                break
+        return self._lin_fin_jit(
+            state, kc, x, jnp.asarray(ok), jnp.asarray(total, jnp.int32),
+            fe, pops,
+        )
+
     def _pull_metrics(self, m: StepMetrics) -> StepMetrics:
         """ALL step metrics in ONE device->host transfer (python scalars).
 
@@ -894,9 +1080,12 @@ class NavierStokesSolver:
             return new_state, self._pull_metrics(m)
         its_prev = 0
         for k in range(self._n_trials):
-            new_state, m = self._attempt_jit(
-                state, self._k_consts[k], self.fe, self.pressure_ops
-            )
+            if self._linear_host:
+                new_state, m = self._attempt_host(state, k)
+            else:
+                new_state, m = self._attempt_jit(
+                    state, self._k_consts[k], self.fe, self.pressure_ops
+                )
             # Happy path costs exactly ONE device->host transfer.
             m = self._pull_metrics(m)
             if m.converged or k == self._n_trials - 1:
@@ -1017,7 +1206,9 @@ class NavierStokesSolver:
             for _ in range(n_steps):
                 state, m = self._step_jit(state, self.fe, self.pressure_ops)
             return state, (self._pull_metrics(m) if m is not None else m)
-        if window <= 1:
+        if window <= 1 or self._linear_host:
+            # The host-segmented driver already syncs per segment, so the
+            # windowed optimistic dispatch has nothing to pipeline.
             m = None
             for _ in range(n_steps):
                 state, m = self.step(state)

@@ -115,12 +115,15 @@ def test_diagonal_e2e_same_physics(mesh2d_path, operator_path):
         assert abs(float(m1.drag) - float(m0.drag)) < 1e-3
 
 
-def test_halo_layout_rejects_diagonal(mesh2d_path):
+def test_halo_layout_rejects_unknown_structure(mesh2d_path):
+    # The diagonal structure is now SUPPORTED on the halo layout
+    # (tests/test_halo_precond_parity.py gates its trajectory); only an
+    # unknown structure value is rejected.
     from navier_stokes_equations_tpu.parallel import halo_solver
 
     cfg = dataclasses.replace(
         test_cases.make("2D-2", deltat=0.01), dtype="float64",
-        precond_structure="diagonal", precond_vel_method="jacobi",
+        precond_structure="ilu", precond_vel_method="jacobi",
     )
-    with pytest.raises(NotImplementedError, match="triangular"):
+    with pytest.raises(ValueError, match="structure"):
         halo_solver.HaloNavierStokesSolver(cfg, taylor_hood.load(mesh2d_path))
