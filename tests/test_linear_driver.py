@@ -90,3 +90,29 @@ def test_defect_criterion_segmented(mesh):
         np.testing.assert_allclose(
             np.asarray(s1.x_old), np.asarray(s0.x_old), rtol=0, atol=1e-11
         )
+
+
+def test_segmented_supg_3d_matches_fused():
+    """SUPG quadrature path (the mesh-3D-xfine configuration class): the
+    packed advection tables include tau — the segment unpack must thread
+    it through identically."""
+    from navier_stokes_equations_tpu.mesh import generators
+
+    mesh3 = taylor_hood.build(generators.channel_cylinder_3d(0.14, 0.06))
+    base = dataclasses.replace(
+        test_cases.make("3D-2Z", deltat=0.01), dtype="float64",
+    )
+    assert base.use_supg
+    fused = solver.NavierStokesSolver(base, mesh3)
+    seg = solver.NavierStokesSolver(
+        dataclasses.replace(base, linear_driver="host", gmres_segment_its=64),
+        mesh3,
+    )
+    s0, s1 = fused.initial_state(), seg.initial_state()
+    for _ in range(2):
+        s0, m0 = fused.step(s0)
+        s1, m1 = seg.step(s1)
+        assert int(m1.gmres_iters) == int(m0.gmres_iters)
+        np.testing.assert_allclose(
+            np.asarray(s1.x_old), np.asarray(s0.x_old), rtol=0, atol=1e-11
+        )
