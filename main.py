@@ -70,6 +70,11 @@ def parse_args(argv=None):
         help="GMRES stopping normalization (config.gmres_criterion)",
     )
     p.add_argument(
+        "--defect-floor", type=float, default=None,
+        help="absolute floor of the defect criterion as a fraction of"
+        " ||b|| (config.gmres_defect_floor)",
+    )
+    p.add_argument(
         "--linear-driver", default=None, choices=["auto", "fused", "host"],
         help="linearized-path Krylov driver: fused in-program FGMRES or"
         " host-segmented bounded device calls (config.linear_driver;"
@@ -166,6 +171,8 @@ def main(argv=None):
         over["gmres_dots"] = args.gmres_dots
     if args.linear_driver:
         over["linear_driver"] = args.linear_driver
+    if args.defect_floor is not None:
+        over["gmres_defect_floor"] = args.defect_floor
     if args.kp_iters is not None:
         over["precond_kp_iters"] = args.kp_iters
     if args.schur_dense_max is not None:

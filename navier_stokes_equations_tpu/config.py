@@ -144,6 +144,15 @@ class SolverConfig:
     # watchdog-risk solves).
     linear_driver: str = "auto"
     gmres_segment_its: int = 48
+    # Absolute floor of the defect criterion, as a fraction of ||b||:
+    # tol = max(rtol * ||b - A x0||, gmres_defect_floor * ||b||).  The
+    # floor keeps a near-perfect warm start from demanding a reduction
+    # below the f32 residual-evaluation noise — but it is also the
+    # BINDING constraint whenever rtol*defect < floor*||b|| (measured on
+    # mesh-3D-xfine: the entire inlet ramp runs ~170 its/step against
+    # the 1e-6 floor regardless of rtol).  Raise it at scale to trade
+    # per-step backward error (floor*||b||) for iterations.
+    gmres_defect_floor: float = 1e-6
     # Newton's inner linear solves stay at the reference's loose tolerance
     # (inexact Newton: the outer iteration controls accuracy, cpp:545).
     gmres_rtol_newton: float = 1e-2

@@ -265,6 +265,7 @@ class NavierStokesSolver:
             weight=tiles.wmask.reshape(-1),
             criterion=self._gmres_criterion,
             dots=cfg.gmres_dots,
+            defect_floor=cfg.gmres_defect_floor,
         )
         return res._replace(x=tile_operator.from_tiles(fe, tiles, res.x))
 
@@ -329,6 +330,7 @@ class NavierStokesSolver:
             alloc=cfg.gmres_alloc,
             criterion=self._gmres_criterion,
             dots=cfg.gmres_dots,
+            defect_floor=cfg.gmres_defect_floor,
         )
         return res
 
@@ -951,7 +953,7 @@ class NavierStokesSolver:
         if self._gmres_criterion == "defect":
             tol = jnp.maximum(
                 cfg.gmres_rtol * jnp.linalg.norm(b_hat - apply_a(x0)),
-                1e-6 * b_norm,
+                cfg.gmres_defect_floor * b_norm,
             )
         else:
             tol = cfg.gmres_rtol * b_norm

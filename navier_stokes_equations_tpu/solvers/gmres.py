@@ -51,6 +51,7 @@ def fgmres(
     weight: jnp.ndarray | None = None,
     criterion: str = "rhs",
     dots: str = "plain",
+    defect_floor: float = 1e-6,
 ) -> GmresResult:
     """Solve A x = b with right-preconditioned FGMRES(restart).
 
@@ -133,12 +134,14 @@ def fgmres(
     if criterion == "defect":
         # One extra operator application per solve; r0 is recomputed by the
         # first restart anyway (the Krylov process needs it normalized).
-        # The 1e-6*||b|| floor keeps a near-perfect warm start from
-        # demanding a reduction below the f32 residual-evaluation noise.
+        # The defect_floor*||b|| floor keeps a near-perfect warm start from
+        # demanding a reduction below the f32 residual-evaluation noise —
+        # and is the BINDING tolerance whenever rtol*defect sits under it
+        # (config.gmres_defect_floor discussion).
         # With x0 None/zero the defect IS b (||b - A*0|| == ||b||): skip the
         # operator application — every Newton inner solve lands here.
         defect_norm = b_norm if x0 is None else wnorm(b - apply_a(x))
-        tol = jnp.maximum(rtol * defect_norm, 1e-6 * b_norm)
+        tol = jnp.maximum(rtol * defect_norm, defect_floor * b_norm)
     elif criterion == "rhs":
         tol = rtol * b_norm
     else:

@@ -74,10 +74,15 @@ RUNS = {
     ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'
     # tolerance freezes and produces non-physics at this scale
-    # (docs/DESIGN.md "accuracy cliff"); budget ~50 its/step.
+    # (docs/DESIGN.md "accuracy cliff").  rtol 1e-2 is the REFERENCE's own
+    # linearized SolverControl level (NavierStokes.cpp:836); the 1e-5*||b||
+    # floor bounds per-step backward error 10x under the measured cliff.
+    # The repo's default rtol=1e-4 against the 1e-6 floor costs ~170
+    # its/step (~70 s/step) at this scale for no measurable physics gain
+    # (docs/DESIGN.md round-3 measurements); ~3h on one chip as configured.
     "3d2z_xfine": (
         ["--case", "3D-2Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-xfine.msh"),
-         "--criterion", "defect"],
+         "--criterion", "defect", "--rtol", "1e-2", "--defect-floor", "1e-5"],
         "forces_3d2z_mesh-3D-xfine_tpu_f32_defect.txt",
     ),
 }
