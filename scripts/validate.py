@@ -72,6 +72,14 @@ RUNS = {
          "--criterion", "defect"],
         "forces_2d2_855k_dt0.0025_tpu_f32_tile_defect.txt",
     ),
+    # Steady-3D dP margin rung: 3D-1Z on the 666k-dof mesh (the medium-mesh
+    # trace sits at dP=0.180 vs the [0.165, 0.175] corridor, +3% — a
+    # resolution miss; Newton runs the host driver at this size).
+    "3d1z_fine": (
+        ["--case", "3D-1Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-fine.msh"),
+         "--steps", "50"],
+        "forces_3d1z_mesh-3D-fine_tpu_f32.txt",
+    ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'
     # tolerance freezes and produces non-physics at this scale
     # (docs/DESIGN.md "accuracy cliff").  rtol 1e-2 is the REFERENCE's own
@@ -86,7 +94,7 @@ RUNS = {
         "forces_3d2z_mesh-3D-xfine_tpu_f32_defect.txt",
     ),
 }
-DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine"}
+DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine", "3d1z_fine"}
 
 
 def main(argv):
