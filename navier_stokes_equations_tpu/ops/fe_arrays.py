@@ -245,10 +245,20 @@ def _bucketed_transpose_map(
     trimming drops only sentinel padding).  Gather cost is proportional to
     padded slots; dof classes with 4x different valences should not share
     one pad width.  Ranges are further sub-split adaptively along the
-    (valence-sorted) count profile."""
-    full = _transpose_map(elem_entries, n_targets)
-    sentinel = elem_entries.size
-    counts = (full != sentinel).sum(axis=1)
+    (valence-sorted) count profile.
+
+    Each bucket's block is built DIRECTLY at its own width (never the
+    dense (n_targets, global_max) map): callers routinely append a
+    sentinel target that collects every pad entry, and materializing the
+    full map at that row's width is O(n_targets * n_pads) memory — 284
+    GiB on the 855k-dof tile interface maps (the trailing sentinel bucket
+    itself is one row and stays cheap)."""
+    flat = np.asarray(elem_entries, np.int64).ravel()
+    order = np.argsort(flat, kind="stable").astype(np.int64)
+    sorted_t = flat[order]
+    counts = np.bincount(sorted_t, minlength=n_targets)[:n_targets]
+    starts = np.concatenate([[0], np.cumsum(counts)])  # (n_targets + 1,)
+    sentinel = flat.size
     edges = sorted({0, n_targets, *(b for b in bounds if 0 < b < n_targets)})
     cut = []
     for lo, hi in zip(edges[:-1], edges[1:]):
@@ -257,9 +267,13 @@ def _bucketed_transpose_map(
     cut.append(n_targets)
     parts = []
     for lo, hi in zip(cut[:-1], cut[1:]):
-        block = full[lo:hi]
         w = max(int(counts[lo:hi].max()), 1) if hi > lo else 1
-        parts.append(np.ascontiguousarray(block[:, :w]))
+        block = np.full((hi - lo, w), sentinel, np.int32)
+        s0, s1 = int(starts[lo]), int(starts[hi])
+        t_sel = sorted_t[s0:s1]
+        col = np.arange(s0, s1) - starts[t_sel]
+        block[t_sel - lo, col] = order[s0:s1]
+        parts.append(block)
     return tuple(parts)
 
 
