@@ -254,6 +254,13 @@ def main(argv=None):
             state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
     else:
         state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+    if args.checkpoint_every:
+        # Always leave an end-of-run checkpoint so segmented drivers
+        # (scripts/validate.py) can resume regardless of step alignment.
+        ckpt.save(
+            os.path.join(args.output_dir, "checkpoint.npz"),
+            s.to_global_state(state) if halo else state,
+        )
     logger.close()
     if not args.quiet:
         print("===============================================")

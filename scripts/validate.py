@@ -96,10 +96,115 @@ RUNS = {
 }
 DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine", "3d1z_fine"}
 
+# ---------------------------------------------------------------------------
+# Segmented long rungs.
+#
+# The at-scale traces (855k-dof 2D corridor, 1.36M-dof resolved 3D) take
+# multiple hours of chip time — longer than one build round, and /tmp does
+# NOT persist across rounds.  A segmented rung advances in bounded chunks:
+# each invocation resumes from a checkpoint COMMITTED under
+# validation/checkpoints/, runs up to VALIDATE_SEG_STEPS more steps,
+# appends the new forces rows to a committed partial trace, and refreshes
+# the checkpoint.  When total_steps is reached the partial trace is
+# promoted to its final validation/ name.  Checkpoints are layout-
+# independent full marching state (utils/checkpoint.py), ~7-11 MB npz at
+# these scales.
+#
+#   python scripts/validate.py 2d2_855k_seg          # one segment
+#   VALIDATE_SEG_STEPS=800 python scripts/validate.py 2d2_855k_seg
+#
+# ``phases`` switches flags at a global step boundary (a segment never
+# crosses a phase boundary): the xfine rung runs the inlet ramp warm-
+# started (fast — every solve sees a changing RHS) and the developed tail
+# with zero-guess solves at the reference's own SolverControl semantics
+# (rtol 1e-2, NavierStokes.cpp:836,849) — the warm-started defect floor
+# provably freezes there (validation/README.md, round-2/3 history).
+SEGMENTED = {
+    "2d2_855k_seg": {
+        "args": ["--case", "2D-2", "--mesh",
+                 os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
+                 "--deltat", "0.0025", "--operator-path", "tile",
+                 "--tile-elements", "16", "--criterion", "rhs"],
+        "total_steps": 3200,
+        "seg_steps": 400,
+        "ckpt": "validation/checkpoints/2d2_855k.npz",
+        "partial": "validation/partial_forces_2d2_855k.txt",
+        "final": "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
+    },
+    "3d2z_xfine_seg": {
+        "args": ["--case", "3D-2Z", "--mesh",
+                 os.path.join(REPO, "meshes/mesh-3D-xfine.msh"),
+                 "--criterion", "defect", "--rtol", "1e-2",
+                 "--defect-floor", "1e-5"],
+        "phases": [(0, []), (412, ["--no-warm-start"])],
+        "total_steps": 800,
+        "seg_steps": 100,
+        "ckpt": "validation/checkpoints/3d2z_xfine.npz",
+        "partial": "validation/partial_forces_3d2z_xfine.txt",
+        "final": "forces_3d2z_mesh-3D-xfine_tpu_f32_zeroguess_tail.txt",
+    },
+}
+
+
+def run_segment(name: str) -> int:
+    import numpy as np
+
+    spec = SEGMENTED[name]
+    ck = os.path.join(REPO, spec["ckpt"])
+    partial = os.path.join(REPO, spec["partial"])
+    os.makedirs(os.path.dirname(ck), exist_ok=True)
+    step0 = 0
+    if os.path.exists(ck):
+        with np.load(ck) as z:
+            step0 = int(z["step"])
+    total = spec["total_steps"]
+    if step0 >= total:
+        print(f"=== {name}: already complete at step {step0}/{total}")
+        return 0
+    seg = int(os.environ.get("VALIDATE_SEG_STEPS", spec["seg_steps"]))
+    seg = min(seg, total - step0)
+    extra = []
+    for ps, flags in spec.get("phases", []):
+        if step0 >= ps:
+            extra = flags
+    nxt = [ps for ps, _ in spec.get("phases", []) if ps > step0]
+    if nxt:
+        seg = min(seg, min(nxt) - step0)
+    outdir = f"/tmp/validate_{name}"
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+    cmd = [sys.executable, os.path.join(REPO, "main.py"), *spec["args"], *extra,
+           "--steps", str(seg), "--checkpoint-every", "100",
+           "--output-dir", outdir, "--quiet"]
+    if step0:
+        cmd += ["--resume", ck]
+    print(f"=== {name}: steps {step0}->{step0 + seg} of {total}: "
+          f"main.py {' '.join(cmd[2:])}", flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+    with open(os.path.join(outdir, "forces.txt")) as f:
+        rows = f.readlines()[1:]
+    with open(partial, "a" if step0 else "w") as f:
+        if not step0:
+            f.write("Time\tCd\tCl\tDeltaP\n")
+        f.writelines(rows)
+    shutil.copy(os.path.join(outdir, "checkpoint.npz"), ck)
+    done = step0 + seg
+    if done >= total:
+        dst = os.path.join(REPO, "validation", spec["final"])
+        shutil.move(partial, dst)
+        os.remove(ck)
+        print(f"    -> COMPLETE: {dst}")
+    else:
+        print(f"    -> {done}/{total} steps; partial {partial}, ckpt {ck}")
+    return 0
+
 
 def main(argv):
     names = argv or [n for n in RUNS if n not in DEFAULT_SKIP]
     for name in names:
+        if name in SEGMENTED:
+            run_segment(name)
+            continue
         args, out_name = RUNS[name]
         outdir = f"/tmp/validate_{name}"
         shutil.rmtree(outdir, ignore_errors=True)
