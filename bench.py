@@ -222,6 +222,13 @@ def main():
         operator_path=os.environ.get("BENCH_OPERATOR_PATH", "tile"),
         tile_elements=int(os.environ.get("BENCH_TILE_E", "16")),
         tile_resident=os.environ.get("BENCH_TILE_RESIDENT", "0") == "1",
+        # Round-3 probe (scripts/exp_precond_dev.py, exp_headline_combo.py):
+        # at developed-flow ~6 its/step the P1-coarse correction converges at
+        # ONE inner PCG sweep — p1_iters=1 keeps the iteration count and cuts
+        # the per-application cost (+15%); alloc=16 trims the CGS2 projection
+        # traffic at no iteration cost (solves restart there if ever needed).
+        precond_p1_iters=int(os.environ.get("BENCH_P1_ITERS", "1")),
+        gmres_alloc=int(os.environ.get("BENCH_ALLOC", "16")),
     )
     s = solver.NavierStokesSolver(cfg, mesh)
 
@@ -232,7 +239,7 @@ def main():
     # shedding onset at t~3-4 — the regime where the solver works hardest
     # and where the reference's 0.31 steps/s average actually lives; timing
     # the quiescent start would flatter us by ~20%).
-    window = int(os.environ.get("BENCH_WINDOW", "8"))
+    window = int(os.environ.get("BENCH_WINDOW", "24"))
     state = s.initial_state()
     state, m = s.run_async(warmup_steps, state, window=window)
     jax.block_until_ready(state.x_old)
