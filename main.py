@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None, help="resume from checkpoint file")
     p.add_argument("--rtol", type=float, default=None, help="GMRES stopping tolerance override")
     p.add_argument("--no-warm-start", action="store_true", help="zero GMRES initial guess (reference behavior)")
+    p.add_argument(
+        "--warm-start-mode", default=None, choices=["previous", "extrap_u"],
+        help="linearized warm-start predictor (config.gmres_warm_start_mode)",
+    )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
         "--profile-dir",
@@ -157,6 +161,8 @@ def main(argv=None):
         over["gmres_rtol"] = args.rtol
     if args.no_warm_start:
         over["gmres_warm_start"] = False
+    if args.warm_start_mode:
+        over["gmres_warm_start_mode"] = args.warm_start_mode
     if args.vel_precond:
         over["precond_vel_method"] = args.vel_precond
     if args.p1_iters is not None:

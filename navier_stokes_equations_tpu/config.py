@@ -186,6 +186,14 @@ class SolverConfig:
     # from zero, cpp:849/560; warm starting converges to the same tolerance
     # in fewer iterations and is the TPU default).
     gmres_warm_start: bool = True
+    # Warm-start predictor (linearized path): "previous" starts from x^n;
+    # "extrap_u" extrapolates the VELOCITY to 2u^n - u^{n-1} (the same
+    # clamped extrapolation as the Oseen advection field u*) while holding
+    # the pressure at p^n.  Full-state linear extrapolation was measured
+    # WORSE (13 -> 33 its/step on 2D-2: the CN pressure mode is non-smooth
+    # step-to-step and extrapolating it amplifies it); velocity-only keeps
+    # the smooth part.  Ignored when gmres_warm_start=False.
+    gmres_warm_start_mode: str = "previous"  # "previous" | "extrap_u"
 
     # Preconditioner knobs (TPU-native substitutes for ILU/AMG).
     # velocity block: "jacobi" | "chebyshev" | "nodeblock" | "p1coarse"

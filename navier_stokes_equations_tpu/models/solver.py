@@ -383,6 +383,28 @@ class NavierStokesSolver:
         force_be = (k == 1) | (k == self._n_trials - 1)
         return dt_att, force_be
 
+    def _lin_warm_start(self, state: State, u_star, fe):
+        """Krylov start iterate for a linearized solve.
+
+        "previous": x^n (the default — the reference starts from ZERO,
+        cpp:849/560, so any warm start already beats its semantics).
+        "extrap_u": velocity extrapolated to the clamped 2u^n - u^{n-1}
+        (= the Oseen advection field u*, already computed), pressure held
+        at p^n.  Full-state extrapolation was measured WORSE (13 -> 33
+        its/step on 2D-2: the CN pressure mode is non-smooth step-to-step
+        and extrapolating it amplifies it); velocity-only keeps the
+        smooth part.  Dirichlet rows are overwritten with g downstream
+        (row-constrained formulation), so the predictor never perturbs
+        boundary values.
+        """
+        cfg = self.cfg
+        if not cfg.gmres_warm_start:
+            return jnp.zeros_like(state.x_old)
+        if cfg.gmres_warm_start_mode == "extrap_u":
+            _, p_old = fe.split(state.x_old)
+            return fe.join(u_star, p_old)
+        return state.x_old
+
     def _linearized_attempt(self, state: State, t_new, k, fe, pops):
         """One ladder trial (k traced): returns (x_new, ok, iters, dt_att)."""
         cfg = self.cfg
@@ -396,15 +418,11 @@ class NavierStokesSolver:
         u_old, _ = fe.split(state.x_old)
         u_oo, _ = fe.split(state.x_old_old)
         is_be = cfg.time_scheme == TimeScheme.BACKWARD_EULER
-        # Warm start from x^n.  (Linear extrapolation 2x^n - x^{n-1} was
-        # measured WORSE — 13 -> 33 Krylov its/step on 2D-2: the CN pressure
-        # mode is non-smooth step-to-step and extrapolating it amplifies it.)
-        x_start = state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
-
         dt_att, force_be = self._trial_params(k)
         th = jnp.where(force_be, jnp.asarray(1.0, self.dtype), theta_eff)
         first_order = state.first_step | state.second_step | force_be | is_be
         u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
+        x_start = self._lin_warm_start(state, u_star, fe)
         params = assembly.StepParams(
             dt=dt_att, theta=th, nu=jnp.asarray(self.nu, self.dtype),
             rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
@@ -923,9 +941,7 @@ class NavierStokesSolver:
         u_old, _ = fe.split(state.x_old)
         u_oo, _ = fe.split(state.x_old_old)
         u_star = assembly.extrapolate_advection(u_old, u_oo, first_order)
-        x_start = (
-            state.x_old if cfg.gmres_warm_start else jnp.zeros_like(state.x_old)
-        )
+        x_start = self._lin_warm_start(state, u_star, fe)
         f_new, f_old = self._forcing_at(fe, t_new, dt_att)
         diag_e, b_e = assembly.oseen_rhs_diag(fe, params, u_star, u_old, f_new, f_old)
         b = operators.scatter_add(fe, b_e)
@@ -1191,7 +1207,7 @@ class NavierStokesSolver:
         With the single-stacked-pull metrics read, window=8 measures ~14%
         FASTER than per-step synchronous pulls on the axon-tunneled TPU
         (197 -> 172 ms/step on mesh-2D-100 developed flow; bench.py uses
-        window=8).  Default stays window=1 for exact per-step logging.
+        window=24).  Default stays window=1 for exact per-step logging.
         """
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)

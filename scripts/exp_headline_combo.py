@@ -2,9 +2,10 @@
 
 Round-3 follow-up to exp_precond_dev.py, which found p1_iters=1 (+15%)
 and alloc=16 (+2%) at tile_e=32.  This measures the combinations at the
-bench config (tile_e=16) from one developed-flow snapshot.  Warmup runs
-the CURRENT bench config first, so its compile also pre-warms the
-persistent jax cache for the driver's round-end bench invocation.
+bench config (tile_e=16) from one developed-flow snapshot.  NOTE: bench.py
+now defaults to p1_iters=1 / gmres_alloc=16 / window=24 (this probe's
+winner), so the warmup below compiles the OLD default (p1=2/alloc=64)
+program, not the current bench program.
 
 Usage: python scripts/exp_headline_combo.py [timed_steps]
 """

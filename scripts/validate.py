@@ -159,6 +159,11 @@ def run_segment(name: str) -> int:
             step0 = int(z["step"])
     total = spec["total_steps"]
     if step0 >= total:
+        # Finish a promotion interrupted between the move and the ckpt
+        # removal: if the partial still exists, promote it now.
+        if os.path.exists(partial):
+            shutil.move(partial, os.path.join(REPO, "validation", spec["final"]))
+        os.remove(ck)
         print(f"=== {name}: already complete at step {step0}/{total}")
         return 0
     seg = int(os.environ.get("VALIDATE_SEG_STEPS", spec["seg_steps"]))
@@ -183,11 +188,39 @@ def run_segment(name: str) -> int:
     subprocess.run(cmd, check=True, cwd=REPO)
     with open(os.path.join(outdir, "forces.txt")) as f:
         rows = f.readlines()[1:]
-    with open(partial, "a" if step0 else "w") as f:
-        if not step0:
-            f.write("Time\tCd\tCl\tDeltaP\n")
-        f.writelines(rows)
-    shutil.copy(os.path.join(outdir, "checkpoint.npz"), ck)
+    # Idempotent, crash-safe commit of (partial trace, checkpoint).  The
+    # driver exists because processes die at round boundaries: a kill
+    # between the two writes must not corrupt the trace that is later
+    # promoted to validation/.  Rules:
+    #   * partial rows are deduplicated by Time against what is already
+    #     committed (a replayed segment appends nothing twice);
+    #   * both files are written to temps and os.replace'd (atomic);
+    #   * partial first, checkpoint second — if killed in between, the
+    #     rerun replays the segment and the dedup drops the duplicates.
+    prev = ["Time\tCd\tCl\tDeltaP\n"]
+    if step0:
+        if not os.path.exists(partial):
+            raise SystemExit(
+                f"{name}: checkpoint records step {step0} but the committed "
+                f"partial trace {partial} is missing — refusing to fabricate "
+                "a headerless trace; restore the partial or delete the "
+                "checkpoint to restart the rung from step 0.")
+        with open(partial) as f:
+            prev = f.readlines()
+        if not prev or not prev[0].startswith("Time"):
+            raise SystemExit(
+                f"{name}: {partial} does not start with the 'Time' header — "
+                "corrupted partial; restore it or restart the rung.")
+    last_t = float(prev[-1].split("\t")[0]) if len(prev) > 1 else -1.0
+    new_rows = [r for r in rows if float(r.split("\t")[0]) > last_t + 1e-12]
+    if len(new_rows) != len(rows):
+        print(f"    (dedup: dropped {len(rows) - len(new_rows)} replayed rows)")
+    with open(partial + ".tmp", "w") as f:
+        f.writelines(prev)
+        f.writelines(new_rows)
+    os.replace(partial + ".tmp", partial)
+    shutil.copy(os.path.join(outdir, "checkpoint.npz"), ck + ".tmp")
+    os.replace(ck + ".tmp", ck)
     done = step0 + seg
     if done >= total:
         dst = os.path.join(REPO, "validation", spec["final"])
