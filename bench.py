@@ -220,7 +220,12 @@ def main():
         test_cases.make("2D-2", deltat=0.01),
         dtype="float32",
         operator_path=os.environ.get("BENCH_OPERATOR_PATH", "tile"),
-        tile_elements=int(os.environ.get("BENCH_TILE_E", "16")),
+        # Round-4 probes (scripts/exp_headline_r4*.py, docs/DESIGN.md
+        # round-4 section): the RCB tile clustering (tile_cluster="auto"
+        # default) cuts the padded slot width un 104 -> 80 (te=16) and
+        # makes te=32 the winner again (un=144, fewest total slots) —
+        # 13.0-13.8 -> 17.8-19.1 steps/s across the probe windows.
+        tile_elements=int(os.environ.get("BENCH_TILE_E", "32")),
         tile_resident=os.environ.get("BENCH_TILE_RESIDENT", "0") == "1",
         # Round-3 probe (scripts/exp_precond_dev.py, exp_headline_combo.py):
         # at developed-flow ~6 its/step the P1-coarse correction converges at
@@ -239,7 +244,7 @@ def main():
     # shedding onset at t~3-4 — the regime where the solver works hardest
     # and where the reference's 0.31 steps/s average actually lives; timing
     # the quiescent start would flatter us by ~20%).
-    window = int(os.environ.get("BENCH_WINDOW", "24"))
+    window = int(os.environ.get("BENCH_WINDOW", "48"))
     state = s.initial_state()
     state, m = s.run_async(warmup_steps, state, window=window)
     jax.block_until_ready(state.x_old)

@@ -251,6 +251,15 @@ class SolverConfig:
     # (BENCH_TILE_E default) — the half-tile's smaller slot gather beats the
     # fuller MXU tile there; 32 remains the right default at larger meshes.
     tile_elements: int = 32
+    # Element->tile clustering: "auto" evaluates both orderings at build
+    # time and keeps the one with the smaller padded slot width un (the
+    # only quantity the static shapes see; every Krylov application pays
+    # ~7 ns per padded slot).  "rcb" = recursive coordinate bisection
+    # into exact-tile_e compact boxes (un 104 -> 80 on mesh-2D-100/te=16,
+    # a ~23% cut of the gather/accumulate cost; loses on strongly graded
+    # meshes whose count-median boxes straddle the grading interface);
+    # "morton" = raw Z-order curve (the round-3 behavior).
+    tile_cluster: str = "auto"
     # Tile-RESIDENT Krylov vectors (operator_path="tile" only): FGMRES runs
     # on tile-local slot vectors with owner-masked inner products, so the
     # per-iteration slot gather + accumulation shrinks to the inter-tile

@@ -107,7 +107,8 @@ class NavierStokesSolver:
                     f"{cfg.precond_vel_method!r}; set tile_resident=False"
                 )
             tiles = tile_operator.build_tile_arrays(
-                mesh, self.fe, tile_e=cfg.tile_elements
+                mesh, self.fe, tile_e=cfg.tile_elements,
+                cluster=cfg.tile_cluster,
             )
             if not cfg.use_supg:
                 # Static S1/S2/G/H + quadrature tables enable the fast

@@ -146,11 +146,62 @@ def _morton(cent: np.ndarray) -> np.ndarray:
     return code
 
 
-def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32) -> TileArrays:
+def _rcb_order(cent: np.ndarray, tile_e: int) -> np.ndarray:
+    """Element ordering whose consecutive ``tile_e`` blocks are compact,
+    uniform spatial boxes (recursive coordinate bisection with counts
+    kept multiples of ``tile_e``).
+
+    Why: the tile slot width ``un`` is a MAX over tiles, and every Krylov
+    application costs ~7 ns per padded slot on TPU regardless of the
+    index pattern (gather latency, not bandwidth — see CLAUDE.md).  Raw
+    Morton order fragments tiles across curve jumps: on mesh-2D-100 at
+    tile_e=16 it yields mean 59 / max 74 distinct nodes per tile and
+    un=104 after group-max stacking.  RCB leaves are exact-tile_e
+    compact boxes with TIGHT node-count spread (mean 46 / p99 49 /
+    max 53, un=80 on the same mesh: -23% padded slots).  A greedy
+    max-node-sharing growth was also measured: better mean (47) but
+    fragmented leftovers set a WORSE max (79) — uniformity is what the
+    static shape pays for, so RCB wins.
+
+    O(n_el log n_el) numpy argpartitions — microseconds-to-ms one-time
+    host cost at solver construction.
+    """
+    n = len(cent)
+    out = np.empty(n, np.int64)
+    pos = [0]
+
+    def rec(idx):
+        if len(idx) <= tile_e:
+            out[pos[0]:pos[0] + len(idx)] = idx
+            pos[0] += len(idx)
+            return
+        c = cent[idx]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        nt = len(idx) // tile_e
+        # Left child takes ceil(nt/2) whole tiles; the (< tile_e)
+        # remainder rides with the right child until it is a leaf.
+        nl = min((nt + 1) // 2 * tile_e, len(idx))
+        part = np.argpartition(c[:, ax], nl - 1)
+        rec(idx[part[:nl]])
+        rec(idx[part[nl:]])
+
+    rec(np.arange(n))
+    assert pos[0] == n
+    return out
+
+
+def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32,
+                      cluster: str = "auto") -> TileArrays:
     """Host-side tile decomposition of the element set.
 
     Uses the HOST mesh arrays throughout (pulling fe device arrays
     through the axon tunnel costs minutes at this size).
+
+    ``cluster``: "auto" (evaluate both orderings below and keep the one
+    with the smaller padded slot width ``un`` — the only quantity the
+    static shapes see), "rcb" (recursive coordinate bisection into
+    exact-tile_e compact boxes — tight per-tile node-count spread) or
+    "morton" (raw curve order, the round-3 behavior).
     """
     n_el, n2, n1 = fe.n_el, fe.n2, fe.n1
     nv, nvert = fe.n_vnodes, mesh.n_vertices
@@ -162,36 +213,57 @@ def build_tile_arrays(mesh, fe: FEArrays, tile_e: int = 32) -> TileArrays:
         )
     n_real = mesh.n_el_real
     cent = mesh.vertices[np.asarray(mesh.elems_p1)[:n_real]].mean(axis=1)
-    order = np.argsort(_morton(cent), kind="stable")
-    # Mesh-level padded elements (zero jacobians) go in trailing tiles.
-    order = np.concatenate([order, np.arange(n_real, n_el)])
     nt = (n_el + tile_e - 1) // tile_e
     pad = nt * tile_e - n_el
-    elem_order = np.concatenate([order, np.full(pad, n_el)]).astype(np.int32)
-
     nodes_pad = np.concatenate([e2, np.zeros((1, n2), e2.dtype)])  # sentinel row
-    tiled_nodes = nodes_pad[elem_order.reshape(nt, tile_e)]  # (nt, TE, n2)
-
-    # Vertex node ids < nvert < edge-midpoint ids (taylor_hood synthesis).
-    uniq = [np.unique(t) for t in tiled_nodes]
-    # Interface nodes appear in >= 2 tiles.
-    cnt = np.zeros(nv + 1, np.int64)
-    for u in uniq:
-        cnt[u] += 1
-    interface = cnt >= 2
 
     def r8(x):
         return -(-max(x) // 8) * 8 if x else 8
 
-    groups = []  # per tile: (vi, vn, ei, en) node-id arrays
-    for u in uniq:
-        isv = u < nvert
-        isi = interface[u]
-        groups.append((u[isv & isi], u[isv & ~isi], u[~isv & isi], u[~isv & ~isi]))
-    w_vi = r8([len(g[0]) for g in groups])
-    w_vn = r8([len(g[1]) for g in groups])
-    w_ei = r8([len(g[2]) for g in groups])
-    w_en = r8([len(g[3]) for g in groups])
+    def evaluate(order):
+        """(tiled_nodes, uniq, interface, group widths) for one ordering.
+
+        Mesh-level padded elements (zero jacobians) go in trailing tiles.
+        """
+        order = np.concatenate([order, np.arange(n_real, n_el)])
+        elem_order = np.concatenate([order, np.full(pad, n_el)]).astype(np.int32)
+        tiled_nodes = nodes_pad[elem_order.reshape(nt, tile_e)]  # (nt, TE, n2)
+        # Vertex node ids < nvert < edge-midpoint ids (taylor_hood).
+        uniq = [np.unique(t) for t in tiled_nodes]
+        # Interface nodes appear in >= 2 tiles.
+        cnt = np.zeros(nv + 1, np.int64)
+        for u in uniq:
+            cnt[u] += 1
+        interface = cnt >= 2
+        groups = []  # per tile: (vi, vn, ei, en) node-id arrays
+        for u in uniq:
+            isv = u < nvert
+            isi = interface[u]
+            groups.append(
+                (u[isv & isi], u[isv & ~isi], u[~isv & isi], u[~isv & ~isi])
+            )
+        widths = tuple(
+            r8([len(g[gi]) for g in groups]) for gi in range(4)
+        )
+        return elem_order, tiled_nodes, uniq, interface, groups, widths
+
+    candidates = {}
+    if cluster in ("rcb", "auto"):
+        candidates["rcb"] = _rcb_order(cent, tile_e)
+    if cluster in ("morton", "auto"):
+        candidates["morton"] = np.argsort(_morton(cent), kind="stable")
+    if not candidates:
+        raise ValueError(f"unknown tile cluster {cluster!r}")
+    # "auto": the padded slot width un is the ONLY thing the static
+    # shapes (and the ~7 ns/slot gather cost) see — pick the ordering
+    # that minimizes it.  RCB wins on quasi-uniform meshes (80 vs 104 on
+    # mesh-2D-100/te=16); Morton wins on strongly graded ones (104 vs
+    # 120 on the 855k-dof rung, whose count-median boxes straddle the
+    # grading interface).
+    evals = {k: evaluate(v) for k, v in candidates.items()}
+    best = min(evals, key=lambda k: sum(evals[k][5]))
+    elem_order, tiled_nodes, uniq, interface, groups, widths = evals[best]
+    w_vi, w_vn, w_ei, w_en = widths
     un_p = w_vi + w_vn
     un = un_p + w_ei + w_en
     starts = (0, w_vi, un_p, un_p + w_ei)

@@ -288,3 +288,27 @@ def test_solver_tile_path_newton(mesh2d_path):
     err = np.abs(res["tile"] - res["quadrature"]).max()
     scale = np.abs(res["quadrature"]).max()
     assert err < 1e-6 * scale
+
+
+def test_rcb_and_morton_clusterings_agree(fixture_mesh_fe):
+    # The clustering changes only WHICH elements share a tile (and hence
+    # summation order); the operator action must agree to roundoff.
+    mesh, fe = fixture_mesh_fe
+    rng = np.random.default_rng(30)
+    params = assembly.StepParams(
+        dt=0.05, theta=0.6, nu=0.01, rho=1.0, gamma=0.1, use_supg=False
+    )
+    u_adv = jnp.asarray(rng.normal(size=(fe.n_vnodes, fe.dim)) * 0.3)
+    x = jnp.asarray(rng.normal(size=fe.n_dofs))
+    dvv, cvv, avp, apv, _ = assembly.oseen_blocks(fe, params, u_adv, u_adv * 0.5)
+    ys = {}
+    un = {}
+    for cl in ("rcb", "morton"):
+        tiles = tile_operator.build_tile_arrays(mesh, fe, tile_e=16, cluster=cl)
+        blk = tile_operator.build_tile_blocks(fe, tiles, dvv, cvv, avp, apv)
+        ys[cl] = np.asarray(tile_operator.make_tile_operator(fe, tiles, blk)(x))
+        un[cl] = tiles.un
+    scale = np.abs(ys["morton"]).max()
+    np.testing.assert_allclose(ys["rcb"], ys["morton"], atol=1e-11 * scale)
+    # The point of RCB: never a wider slot pad than the curve order.
+    assert un["rcb"] <= un["morton"], un
