@@ -28,9 +28,10 @@ base = dataclasses.replace(
 CANDS = {
     'fixed,quad': {},
     'ew,quad': dict(newton_forcing='ew'),
-    'fixed,tile': dict(operator_path='tile', tile_elements=16),
+    # Round-4: te=32 + auto (RCB) clustering is the headline tiling.
+    'fixed,tile': dict(operator_path='tile', tile_elements=32),
     'ew,tile': dict(newton_forcing='ew', operator_path='tile',
-                    tile_elements=16),
+                    tile_elements=32),
     'ew,quad,p1=4': dict(newton_forcing='ew', precond_p1_iters=4),
 }
 

@@ -124,7 +124,9 @@ SEGMENTED = {
         "args": ["--case", "2D-2", "--mesh",
                  os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
                  "--deltat", "0.0025", "--operator-path", "tile",
-                 "--tile-elements", "16", "--criterion", "rhs"],
+                 # te=32 + the round-4 auto clustering: 3.26M padded slots
+                 # vs 3.69M at the round-3 te=16 pin (docs/DESIGN.md).
+                 "--tile-elements", "32", "--criterion", "rhs"],
         "total_steps": 3200,
         "seg_steps": 400,
         "ckpt": "validation/checkpoints/2d2_855k.npz",
