@@ -133,6 +133,25 @@ SEGMENTED = {
         "partial": "validation/partial_forces_2d2_855k.txt",
         "final": "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
     },
+    # Extension of 2d2_855k_seg past T=8: at 855k dofs the shedding is
+    # still GROWING at t=8 (Cl amplitude reaches +-1.05 only in the last
+    # half-second; 15 Cl zero-crossings in [4,8] vs 24 on the 580k rung),
+    # so the DFG corridor statistics — defined over fully-developed
+    # periods — need a longer horizon, exactly like the T=25 run on
+    # mesh-2D-100.  Seeded from the step-3200 checkpoint of the completed
+    # T=8 rung with the T=8 trace as the committed partial; promotion
+    # REPLACES the T=8 trace with the full T=14 one.
+    "2d2_855k_ext_seg": {
+        "args": ["--case", "2D-2", "--mesh",
+                 os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
+                 "--deltat", "0.0025", "--operator-path", "tile",
+                 "--tile-elements", "32", "--criterion", "rhs"],
+        "total_steps": 5600,
+        "seg_steps": 400,
+        "ckpt": "validation/checkpoints/2d2_855k_ext.npz",
+        "partial": "validation/partial_forces_2d2_855k_ext.txt",
+        "final": "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
+    },
     "3d2z_xfine_seg": {
         "args": ["--case", "3D-2Z", "--mesh",
                  os.path.join(REPO, "meshes/mesh-3D-xfine.msh"),
