@@ -1,0 +1,98 @@
+"""Halo-layout overhead vs the single-chip path (CPU timing study).
+
+VERDICT round-3 stretch item: the tile operator path is single-chip-only
+(PARITY.md #8) and the halo layout's cost has only correctness gates, not
+a measured cost model.  No multi-chip TPU hardware is reachable from this
+environment, so this study times the FULL halo time loop on a virtual
+N-device CPU mesh against the single-chip solver in the SAME process /
+same backend, isolating the layout + shard_map + ppermute overhead from
+everything the two paths share (weak form, Krylov algebra, physics).
+
+What transfers to TPU and what does not:
+  * transfers: the RELATIVE per-step overhead decomposition (extra
+    collective launches per Krylov iteration, per-strip padding waste,
+    duplicated interface work) — these are layout properties;
+  * does not: absolute times (CPU "devices" are threads sharing one
+    memory system; ppermute is a memcpy, not an ICI hop).
+
+Run:  python scripts/exp_halo_overhead.py [--mesh PATH] [--steps N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from navier_stokes_equations_tpu.mesh import taylor_hood
+from navier_stokes_equations_tpu.models import solver, test_cases
+from navier_stokes_equations_tpu.parallel import halo_solver, sharding
+
+
+def time_loop(s, state, n_warm, n_time):
+    for _ in range(n_warm):
+        state, m = s.step(state)
+    jax.block_until_ready(state.x_old)
+    # CPU backend executes eagerly once compiled; no deferred-exec pull
+    # tricks needed (that is an axon quirk).
+    t0 = time.perf_counter()
+    iters = 0
+    for _ in range(n_time):
+        state, m = s.step(state)
+        iters += int(m.gmres_iters)
+    jax.block_until_ready(state.x_old)
+    dt = time.perf_counter() - t0
+    return dt / n_time, iters / n_time, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="/root/reference/meshes/mesh-2D.msh")
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--warm", type=int, default=4)
+    ap.add_argument("--shards", type=int, nargs="*", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+
+    cfg = dataclasses.replace(
+        test_cases.make("2D-2", deltat=0.01), dtype="float32")
+    mesh = sharding.partition_mesh(taylor_hood.load(args.mesh), 8)
+    print(f"mesh {args.mesh}: {mesh.n_vertices} verts, "
+          f"{mesh.n_el_real} elems", flush=True)
+
+    ref = solver.NavierStokesSolver(cfg, mesh)
+    t_ref, its_ref, _ = time_loop(ref, ref.initial_state(),
+                                  args.warm, args.steps)
+    print(f"single-chip (quad path)   {t_ref * 1e3:9.1f} ms/step   "
+          f"{its_ref:5.1f} its/step", flush=True)
+
+    for n in args.shards:
+        try:
+            hs = halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=n)
+            t_h, its_h, _ = time_loop(hs, hs.initial_state(),
+                                      args.warm, args.steps)
+        except Exception as e:  # noqa: BLE001 - report and continue study
+            print(f"halo n_shards={n}: FAILED ({type(e).__name__}: {e})",
+                  flush=True)
+            continue
+        print(f"halo n_shards={n}        {t_h * 1e3:9.1f} ms/step   "
+              f"{its_h:5.1f} its/step   overhead x{t_h / t_ref:5.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

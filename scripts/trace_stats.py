@@ -43,17 +43,75 @@ def stats(path, t0=None):
     return out
 
 
+def dfg_period_stats(path, t_dev=None):
+    """Corridor quantities by the Schaefer-Turek 2D-2 definition.
+
+    The benchmark defines cd_max, cl_max and St over ONE PERIOD
+    [t0, t0 + 1/f] of the fully developed flow with t0 a time of maximal
+    lift, and the pressure difference at the half-period point
+    dP(t0 + 1/(2f)).  Corridors: cd_max [3.22, 3.24], cl_max
+    [0.99, 1.01], St [0.295, 0.305], dP [2.46, 2.50].
+
+    ``t_dev`` restricts the search to t >= t_dev (default: last 25% of
+    the trace) so the growing transient is excluded.
+    """
+    data = np.loadtxt(path, skiprows=1)
+    t, cd, cl, dp = data[:, 0], data[:, 1], data[:, 2], data[:, 3]
+    if t_dev is None:
+        t_dev = t[0] + 0.75 * (t[-1] - t[0])
+    w = t >= t_dev
+    tw, clw = t[w], cl[w]
+    # Period from the mean zero-crossing spacing in the developed window.
+    c = clw - clw.mean()
+    s = np.sign(c)
+    idx = np.nonzero(s[1:] * s[:-1] < 0)[0]
+    if len(idx) < 4:
+        raise SystemExit(f"{path}: <2 periods after t={t_dev:.3f} — "
+                         "not developed; extend the trace or lower --dev")
+    tc = tw[idx] - c[idx] * (tw[idx + 1] - tw[idx]) / (c[idx + 1] - c[idx])
+    period = 2.0 * np.diff(tc).mean()
+    # Latest lift maximum t0 with a full period of trailing data.
+    pk = np.nonzero((clw[1:-1] > clw[:-2]) & (clw[1:-1] >= clw[2:]))[0] + 1
+    pk = pk[tw[pk] + period <= tw[-1] + 1e-9]
+    if len(pk) == 0:
+        raise SystemExit(f"{path}: no lift maximum with a full trailing "
+                         "period — extend the trace")
+    t0 = tw[pk[-1]]
+    win = (t >= t0 - 1e-12) & (t <= t0 + period + 1e-12)
+    out = {
+        "t0": float(t0),
+        "period": float(period),
+        "St": float(0.1 / period),
+        "Cd_max": float(cd[win].max()),
+        "Cl_max": float(cl[win].max()),
+        "dP(t0+1/2f)": float(np.interp(t0 + 0.5 * period, t, dp)),
+    }
+    return out
+
+
+CORRIDORS = {"St": (0.295, 0.305), "Cd_max": (3.22, 3.24),
+             "Cl_max": (0.99, 1.01), "dP(t0+1/2f)": (2.46, 2.50)}
+
+
 def main(argv):
     t0 = None
+    dfg = "--dfg" in argv
+    if dfg:
+        argv.remove("--dfg")
     if "--from" in argv:
         i = argv.index("--from")
         t0 = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     for p in argv:
-        r = stats(p, t0)
+        r = dfg_period_stats(p, t0) if dfg else stats(p, t0)
         print(p)
         for k, v in r.items():
-            print(f"  {k:12s} {v}")
+            mark = ""
+            if dfg and k in CORRIDORS:
+                lo, hi = CORRIDORS[k]
+                mark = ("  [in corridor]" if lo <= v <= hi
+                        else f"  [corridor {lo}-{hi}]")
+            print(f"  {k:12s} {v}{mark}")
     return 0
 
 
