@@ -272,6 +272,22 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
     }
+    # Absolute hardware-utilization context (VERDICT round-3 item 5):
+    # docs/roofline.json is written by scripts/roofline.py on this same
+    # headline config — fold the hot-kernel HBM utilization in so the
+    # one JSON line carries an absolute number, not only a CPU-relative
+    # one.  Stale/absent file just drops the field.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "roofline.json")) as f:
+            rj = json.load(f)
+        result["hbm_roofline_pct"] = {
+            "tile_apply": rj["kernels"]["tile apply (Krylov op)"]["pct_of_hbm_peak"],
+            "schur_dense_kp": rj["kernels"]["dense K_p^-1 matvec"]["pct_of_hbm_peak"],
+            "measured_by": "scripts/roofline.py",
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     # Physics sanity recorded to stderr (not part of the JSON contract).
     print(
         f"# physics: Cd_last={float(metrics.drag):.3f} Cl_last={float(metrics.lift):.3f} "

@@ -38,7 +38,7 @@ HBM_PEAK_GBPS = 819.0  # TPU v5e HBM2E peak
 mesh = taylor_hood.load('/root/reference/meshes/mesh-2D-100.msh')
 cfg = dataclasses.replace(
     test_cases.make('2D-2', deltat=0.01), dtype='float32',
-    operator_path='tile', tile_elements=16,
+    operator_path='tile', tile_elements=32,  # headline tiling (RCB auto cluster)
     precond_p1_iters=1, gmres_alloc=16,
 )
 s = solver.NavierStokesSolver(cfg, mesh)
@@ -73,11 +73,17 @@ def timeit(f, n=50):
     return (time.perf_counter() - t0) / n
 
 
+RESULTS = {}
+
+
 def report(name, ms, nbytes):
     gbps = nbytes / 1e9 / (ms / 1e3)
     print(f'{name:28s} {ms:8.3f} ms  {nbytes/1e6:9.1f} MB  '
           f'{gbps:7.1f} GB/s  {100*gbps/HBM_PEAK_GBPS:5.1f}% of peak',
           flush=True)
+    RESULTS[name] = {'ms': round(ms, 3), 'MB': round(nbytes / 1e6, 1),
+                     'GBps': round(gbps, 1),
+                     'pct_of_hbm_peak': round(100 * gbps / HBM_PEAK_GBPS, 1)}
     return gbps
 
 
@@ -130,3 +136,17 @@ report(f'CGS2 pass (k={k})', ms, (4 * k + 4) * fe.n_dofs * f4)
 # --- full preconditioned step context ---------------------------------
 print('# context: ~6 Krylov its/step at developed flow; each it = '
       '1 apply + 1 CC precond (vel smoother + Schur) + CGS2.')
+
+# Persist for bench.py to fold into its JSON line (docs/roofline.json is
+# committed; bench reports it as a measured-by-scripts/roofline.py field).
+import json
+out = {
+    'config': f'mesh-2D-100 tile te={cfg.tile_elements} f32 (headline)',
+    'hbm_peak_GBps': HBM_PEAK_GBPS,
+    'kernels': RESULTS,
+}
+path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    'docs', 'roofline.json')
+with open(path, 'w') as f:
+    json.dump(out, f, indent=1)
+print(f'# wrote {path}')
