@@ -100,6 +100,12 @@ def parse_args(argv=None):
         " choice 2 (config.newton_forcing)",
     )
     p.add_argument(
+        "--newton-reuse", type=int, default=None,
+        help="rebuild the Newton Jacobian/preconditioner only every k-th"
+        " iteration (modified Newton; tile path only — the residual and"
+        " stopping test stay exact; config.newton_jacobian_reuse)",
+    )
+    p.add_argument(
         "--schur-dense-max", type=int, default=None,
         help="pressure-space size up to which K_p^{-1} is a precomputed dense"
         " inverse; above it the aggregation two-grid is used"
@@ -185,6 +191,8 @@ def main(argv=None):
         over["precond_schur_dense_max"] = args.schur_dense_max
     if args.newton_forcing:
         over["newton_forcing"] = args.newton_forcing
+    if args.newton_reuse is not None:
+        over["newton_jacobian_reuse"] = args.newton_reuse
     if args.twolevel_cycles is not None:
         over["precond_twolevel_cycles"] = args.twolevel_cycles
     if args.operator_path:

@@ -167,6 +167,15 @@ class SolverConfig:
     newton_forcing_eta_min: float = 1e-4
     newton_forcing_gamma: float = 0.9
     newton_forcing_alpha: float = 2.0
+    # Rebuild the Newton Jacobian (and the preconditioner built from it)
+    # only every k-th iteration; the residual/RHS is always fresh, so the
+    # outer stopping test is exact and only the CONVERGENCE RATE degrades
+    # (modified Newton).  Pays off on the tile operator path, where the
+    # per-iteration block assembly + tile reduction dominates and the
+    # Krylov applications are cheap; a no-op on the quadrature path (the
+    # matfree apply re-derives the weak form per application regardless).
+    # The reference re-assembles every iteration (NavierStokes.cpp:1152).
+    newton_jacobian_reuse: int = 1
     newton_max_iterations: int = 50
     newton_tolerance: float = 1e-8
     # A 3-iteration residual stall exits the Newton loop (the damping ladder

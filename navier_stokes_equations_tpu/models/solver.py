@@ -184,6 +184,9 @@ class NavierStokesSolver:
         self._lin_fin_jit = jax.jit(self._lin_fin)
         self._newton_asm_jit = jax.jit(self._newton_asm_step)
         self._newton_slv_jit = jax.jit(self._newton_slv_step)
+        self._newton_rhs_jit = jax.jit(self._newton_rhs_step)
+        self._newton_ctx_jit = jax.jit(self._newton_ctx_step)
+        self._newton_slv_ctx_jit = jax.jit(self._newton_slv_ctx_step)
         self._newton_fin_jit = jax.jit(self._newton_fin)
         self._newton_x0_jit = jax.jit(
             lambda state, t_new: jnp.where(
@@ -561,6 +564,40 @@ class NavierStokesSolver:
         b_hat = jnp.where(mask, 0.0, b)
         return Ad, b_hat, floor
 
+    def _newton_rhs_floor(self, fe, params, x, u_old, f_new, f_old):
+        """Residual RHS + roundoff floor WITHOUT the Jacobian (reuse path).
+
+        Exactly the ``(b_hat, floor)`` of :meth:`_newton_residual_system`
+        via the diagonal-only assembly (the byproduct diagonal is
+        discarded) — used on Jacobian-reuse iterations
+        (cfg.newton_jacobian_reuse > 1), where the operator and
+        preconditioner are frozen but the outer stopping test must see
+        the TRUE residual at the current iterate.
+        """
+        mask = self.dirichlet.mask
+        u, p = fe.split(x)
+        _, b_e = assembly.newton_rhs_diag(fe, params, u, p, u_old, f_new, f_old)
+        b = operators.scatter_add(fe, b_e)
+        eps = jnp.finfo(b.dtype).eps
+        floor = eps * jnp.linalg.norm(
+            jnp.where(mask, 0.0, operators.scatter_add(fe, jnp.abs(b_e)))
+        )
+        return jnp.where(mask, 0.0, b), floor
+
+    def _newton_tile_ctx(self, fe, x, Ad):
+        """Reduce Newton physical blocks to the reusable solve context.
+
+        ``(global diagonal, tile matrices, linearization velocity)`` — all
+        the iterate-dependent state the tile-path linear solve needs; on
+        reuse iterations the previous context is passed back in unchanged
+        (frozen Jacobian AND frozen preconditioner inputs).
+        """
+        u_x, _ = fe.split(x)
+        dvv, cvv, avp, apv = Ad
+        diag = self._global_diag(fe, assembly.blocks_diag(fe, dvv, cvv))
+        blk = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+        return diag, blk, u_x
+
     def _ew_eta(self, res, prev, eta_prev, it, res0):
         """Eisenstat-Walker choice-2 forcing term for the NEXT inner solve.
 
@@ -585,13 +622,15 @@ class NavierStokesSolver:
         )
 
     def _newton_linear_solve(self, fe, pops, params, x, b_hat, Ad, d1, resid_args,
-                             rtol=None):
+                             rtol=None, tile_ctx=None):
         """Damped update x + d2*dx with post-failure backtracking (jittable).
 
         Mirrors NavierStokes.cpp:1171-1198; ``d1`` is the pre-solve damping,
         the returned damping reflects the linear-failure reduction.
         ``rtol``: inner forcing term (traced ok; defaults to the fixed
-        cfg.gmres_rtol_newton).
+        cfg.gmres_rtol_newton).  ``tile_ctx``: prebuilt (possibly FROZEN,
+        cfg.newton_jacobian_reuse) tile solve context from
+        :meth:`_newton_tile_ctx`; when given, ``Ad`` is unused.
         """
         cfg = self.cfg
         quad = cfg.operator_path == "quadrature"
@@ -605,11 +644,12 @@ class NavierStokesSolver:
             op = matfree.make_system_operator(fe, params, u_x, newton_reaction=True)
             diag = Ad
         elif tile:
-            # Ad carries the Jacobian's physical blocks; reduce them to
-            # tile matrices once — the Krylov applications amortize it.
-            dvv, cvv, avp, apv = Ad
-            diag = self._global_diag(fe, assembly.blocks_diag(fe, dvv, cvv))
-            blk = tile_operator.build_tile_blocks(fe, fe.tiles, dvv, cvv, avp, apv)
+            if tile_ctx is not None:
+                diag, blk, u_x = tile_ctx
+            else:
+                # Ad carries the Jacobian's physical blocks; reduce them to
+                # tile matrices once — the Krylov applications amortize it.
+                diag, blk, u_x = self._newton_tile_ctx(fe, x, Ad)
             op = tile_operator.make_tile_operator(fe, fe.tiles, blk)
         nodeblock_inv = self._nodeblock_inv(fe, params, u_x)
         sol = self._solve_linear(
@@ -661,6 +701,28 @@ class NavierStokesSolver:
             rtol=rtol,
         )
 
+    def _newton_rhs_step(self, x, x_old, t_new, theta, fe):
+        """Residual-only device call for Jacobian-reuse iterations."""
+        params = self._newton_params(theta)
+        u_old, _ = fe.split(x_old)
+        f_new, f_old = self._forcing_at(fe, t_new, params.dt)
+        b_hat, floor = self._newton_rhs_floor(fe, params, x, u_old, f_new, f_old)
+        return b_hat, jnp.linalg.norm(b_hat), floor
+
+    def _newton_ctx_step(self, x, Ad, fe):
+        return self._newton_tile_ctx(fe, x, Ad)
+
+    def _newton_slv_ctx_step(self, x, x_old, b_hat, ctx, t_new, theta, d1,
+                             rtol, fe, pops):
+        """Linear solve against a (possibly frozen) prebuilt tile context."""
+        params = self._newton_params(theta)
+        u_old, _ = fe.split(x_old)
+        f_new, f_old = self._forcing_at(fe, t_new, params.dt)
+        return self._newton_linear_solve(
+            fe, pops, params, x, b_hat, None, d1, (u_old, f_new, f_old),
+            rtol=rtol, tile_ctx=ctx,
+        )
+
     def _newton_fin(self, state, t_new, x, ok, its, nits, res, fe):
         return self._finalize(
             state, t_new, fe, x, ok, its,
@@ -699,10 +761,26 @@ class NavierStokesSolver:
         res_dev = jnp.asarray(0.0, self.dtype)
         ew = cfg.newton_forcing == "ew"
         eta = cfg.newton_forcing_eta_max
+        k_reuse = (
+            max(1, int(cfg.newton_jacobian_reuse))
+            if cfg.operator_path == "tile"
+            else 1
+        )
+        ctx = None
         for it in range(cfg.newton_max_iterations):
-            Ad, b_hat, res_dev, floor_dev = self._newton_asm_jit(
-                x, state.x_old, t_new, th, fe, pops
-            )
+            if k_reuse > 1 and it % k_reuse != 0:
+                # Frozen Jacobian/preconditioner; TRUE residual (modified
+                # Newton — the outer stopping test stays exact).
+                b_hat, res_dev, floor_dev = self._newton_rhs_jit(
+                    x, state.x_old, t_new, th, fe
+                )
+                Ad = None
+            else:
+                Ad, b_hat, res_dev, floor_dev = self._newton_asm_jit(
+                    x, state.x_old, t_new, th, fe, pops
+                )
+                if k_reuse > 1:
+                    ctx = self._newton_ctx_jit(x, Ad, fe)
             # One stacked pull (the res/floor pair shares a round-trip).
             res, floor = (float(v) for v in np.asarray(jnp.stack([res_dev, floor_dev])))
             if it == 0:
@@ -730,11 +808,18 @@ class NavierStokesSolver:
             if ew:
                 eta = float(self._ew_eta(res, prev, eta, it, res0))
             rtol = eta if ew else cfg.gmres_rtol_newton
-            x, d_dev, its_dev = self._newton_slv_jit(
-                x, state.x_old, b_hat, Ad, t_new, th,
-                jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
-                fe, pops,
-            )
+            if k_reuse > 1:
+                x, d_dev, its_dev = self._newton_slv_ctx_jit(
+                    x, state.x_old, b_hat, ctx, t_new, th,
+                    jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
+                    fe, pops,
+                )
+            else:
+                x, d_dev, its_dev = self._newton_slv_jit(
+                    x, state.x_old, b_hat, Ad, t_new, th,
+                    jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
+                    fe, pops,
+                )
             d = float(d_dev)  # pull #2
             tg = tg + its_dev
             prev = res
@@ -773,14 +858,47 @@ class NavierStokesSolver:
         tol = cfg.newton_tolerance
 
         ew = cfg.newton_forcing == "ew"
+        # Jacobian reuse (modified Newton) is a tile-path optimization: the
+        # quadrature matfree apply re-derives the weak form per application,
+        # so freezing buys nothing there.
+        k_reuse = (
+            max(1, int(cfg.newton_jacobian_reuse))
+            if cfg.operator_path == "tile"
+            else 1
+        )
+
+        def full_asm(x):
+            Ad, b_hat, floor = residual_system(x)
+            return self._newton_tile_ctx(fe, x, Ad), b_hat, floor
+
+        if k_reuse > 1:
+            # Shape-only trace: a zero context of the right pytree for the
+            # loop init (never consumed — iteration 0 always rebuilds).
+            ctx_shape = jax.eval_shape(lambda x: full_asm(x)[0], x0)
+            ctx0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), ctx_shape
+            )
+        else:
+            ctx0 = None
 
         def cond(c):
-            x, res, prev, res0, stall, damping, eta, it, tg, done, ok = c
+            x, res, prev, res0, stall, damping, eta, it, tg, done, ok = c[:11]
             return (~done) & (it < cfg.newton_max_iterations)
 
         def body(c):
-            x, res_in, prev, res0, stall, damping, eta_prev, it, tg, _, _ = c
-            Ad, b_hat, floor = residual_system(x)
+            x, res_in, prev, res0, stall, damping, eta_prev, it, tg = c[:9]
+            ctx = c[11] if k_reuse > 1 else None
+            if k_reuse > 1:
+                ctx, b_hat, floor = jax.lax.cond(
+                    it % k_reuse == 0,
+                    full_asm,
+                    lambda x: (ctx,) + self._newton_rhs_floor(
+                        fe, params, x, u_old, f_new, f_old),
+                    x,
+                )
+                Ad = None
+            else:
+                Ad, b_hat, floor = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
             # f32 assembly roundoff floors ||R|| around eps*|terms|*sqrt(n)
@@ -816,17 +934,18 @@ class NavierStokesSolver:
                 )
                 return self._newton_linear_solve(
                     fe, pops, params, x, b_hat, Ad, d1, (u_old, f_new, f_old),
-                    rtol=eta if ew else None,
+                    rtol=eta if ew else None, tile_ctx=ctx,
                 )
 
             def no_update(_):
                 return x, damping, jnp.asarray(0, jnp.int32)
 
             x_out, d_out, g_its = jax.lax.cond(~done, do_update, no_update, None)
-            return (
+            out = (
                 x_out, res, res, res0, stall, d_out, eta,
                 it + jnp.where(done, 0, 1), tg + g_its, done, ok,
             )
+            return out + (ctx,) if k_reuse > 1 else out
 
         init = (
             x0, big, big, big, jnp.asarray(0, jnp.int32),
@@ -835,9 +954,10 @@ class NavierStokesSolver:
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
         )
-        x, res, _, _, _, _, _, iters, total_gmres, _, ok = jax.lax.while_loop(
-            cond, body, init
-        )
+        if k_reuse > 1:
+            init = init + (ctx0,)
+        fin = jax.lax.while_loop(cond, body, init)
+        x, res, _, _, _, _, _, iters, total_gmres, _, ok = fin[:11]
         # Hitting the iteration cap without meeting any criterion is also
         # honest non-convergence (ok stays False from the last body pass).
         return x, ok, total_gmres, dt0, iters, res

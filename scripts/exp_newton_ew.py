@@ -32,6 +32,12 @@ CANDS = {
     'fixed,tile': dict(operator_path='tile', tile_elements=32),
     'ew,tile': dict(newton_forcing='ew', operator_path='tile',
                     tile_elements=32),
+    # Round-4: modified Newton — freeze the Jacobian/preconditioner for
+    # k-1 iterations (fresh residual; config.newton_jacobian_reuse).
+    'ew,tile,reuse3': dict(newton_forcing='ew', operator_path='tile',
+                           tile_elements=32, newton_jacobian_reuse=3),
+    'ew,tile,reuse6': dict(newton_forcing='ew', operator_path='tile',
+                           tile_elements=32, newton_jacobian_reuse=6),
     'ew,quad,p1=4': dict(newton_forcing='ew', precond_p1_iters=4),
 }
 

@@ -86,3 +86,34 @@ def test_ew_on_halo_layout(mesh2d_path):
         assert int(m_h.newton_iters) == int(m_r.newton_iters)
         assert bool(m_h.converged) == bool(m_r.converged)
         assert abs(float(m_h.drag) - float(m_r.drag)) < 1e-3
+
+
+@pytest.mark.parametrize("driver", ["graph", "host"])
+def test_jacobian_reuse_converges_to_same_steady_state(mesh2d_path, driver):
+    """newton_jacobian_reuse=k freezes the Jacobian/preconditioner for k-1
+    iterations (modified Newton, tile path).  The residual and stopping
+    test stay exact, so the converged state must match the every-iteration
+    rebuild to the outer tolerance; the frozen-Jacobian iteration may take
+    MORE Newton iterations, never a wrong answer."""
+    s_ref = _mk(mesh2d_path, newton_driver=driver,
+                operator_path="tile", tile_elements=8)
+    s_ru = _mk(mesh2d_path, newton_driver=driver,
+               operator_path="tile", tile_elements=8,
+               newton_jacobian_reuse=3)
+    st_r, st_u = s_ref.initial_state(), s_ru.initial_state()
+    for _ in range(3):
+        st_r, m_r = s_ref.step(st_r)
+        st_u, m_u = s_ru.step(st_u)
+        assert bool(m_r.converged) and bool(m_u.converged)
+        assert abs(float(m_u.drag) - float(m_r.drag)) < 1e-3
+        assert abs(float(m_u.delta_p) - float(m_r.delta_p)) < 1e-4
+    scale = float(jnp.max(jnp.abs(st_r.x_old))) + 1e-30
+    assert float(jnp.max(jnp.abs(st_u.x_old - st_r.x_old))) < 5e-3 * scale
+
+
+def test_jacobian_reuse_noop_on_quadrature_path(mesh2d_path):
+    """On the quadrature path the knob is ignored (documented no-op)."""
+    s = _mk(mesh2d_path, newton_jacobian_reuse=4)
+    st = s.initial_state()
+    st, m = s.step(st)
+    assert bool(m.converged)
