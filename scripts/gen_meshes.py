@@ -50,6 +50,14 @@ def main():
     # Corridor-closure rung (~855k dofs): the 580k rung leaves Dp 1.2% low
     # and Cd_max 1% high vs the DFG corridor (validation/README.md).
     write("mesh-2D-gen-xfine.msh", generators.channel_cylinder_2d(h_far=0.026, h_cyl=0.0012))
+    # Wake-corrected corridor rung (~696k dofs): the xfine grading spends
+    # its dofs at the cylinder (h_cyl=0.0012) while the far field stays
+    # at h=0.026 — the T=14 855k trace shows a CLEAN developed cycle at
+    # St 0.273 / Cl_max 1.12, off the corridor, while the uniformly-fine
+    # mesh-2D-100 (h~0.010-0.013 everywhere) holds St 0.298 to t=24.
+    # This rung flips the budget: far field 2.2x finer, cylinder h
+    # 0.0015 (still 4x finer than mesh-2D-100's near field).
+    write("mesh-2D-gen-xfine2.msh", generators.channel_cylinder_2d(h_far=0.012, h_cyl=0.0015))
     # 3D ladder (analog of mesh-3D-5 / -10).
     write("mesh-3D-coarse.msh", generators.channel_cylinder_3d(h_far=0.1, h_cyl=0.03, n_layers=5))
     write("mesh-3D-medium.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=8))

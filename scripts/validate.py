@@ -152,6 +152,24 @@ SEGMENTED = {
         "partial": "validation/partial_forces_2d2_855k_ext.txt",
         "final": "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
     },
+    # Wake-corrected corridor rung (~696k dofs, mesh-2D-gen-xfine2:
+    # h_far=0.012, h_cyl=0.0015).  The 855k xfine T=14 trace develops a
+    # CLEAN limit cycle OFF the corridor (St 0.273, Cl_max 1.12) — the
+    # distortion tracks the far-field grading (h_far 0.026 vs the
+    # uniformly-fine mesh-2D-100 which holds St 0.298 to t=24), so this
+    # rung flips the dof budget toward the wake.  T=12 gives the cycle
+    # several seconds past saturation.
+    "2d2_700k_seg": {
+        "args": ["--case", "2D-2", "--mesh",
+                 os.path.join(REPO, "meshes/mesh-2D-gen-xfine2.msh"),
+                 "--deltat", "0.0025", "--operator-path", "tile",
+                 "--tile-elements", "32", "--criterion", "rhs"],
+        "total_steps": 4800,
+        "seg_steps": 400,
+        "ckpt": "validation/checkpoints/2d2_700k.npz",
+        "partial": "validation/partial_forces_2d2_700k.txt",
+        "final": "forces_2d2_700k_dt0.0025_tpu_f32_tile.txt",
+    },
     "3d2z_xfine_seg": {
         "args": ["--case", "3D-2Z", "--mesh",
                  os.path.join(REPO, "meshes/mesh-3D-xfine.msh"),
