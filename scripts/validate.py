@@ -152,6 +152,26 @@ SEGMENTED = {
         "partial": "validation/partial_forces_2d2_855k_ext.txt",
         "final": "forces_2d2_855k_dt0.0025_tpu_f32_tile.txt",
     },
+    # Developed-cycle measurement window for the 855k rung at the DEFECT
+    # criterion.  The T=14 'rhs' trace saturates into a clean limit cycle
+    # at St 0.273; a 400-step defect continuation snaps the frequency to
+    # St 0.3015 (in corridor) within ONE period — the pinned 'rhs'
+    # stopping is scale-unsafe at 855k dofs (the gmres_criterion="auto"
+    # >500k-dof heuristic exists for exactly this).  This rung gives the
+    # defect-resolved cycle 4 s (t in [14, 18], ~11 periods) to fully
+    # settle amplitude/Cd_max/dP for the corridor statistics.  Seeded
+    # from checkpoints/2d2_855k_T14_state.npz + a header-only partial.
+    "2d2_855k_defect_tail_seg": {
+        "args": ["--case", "2D-2", "--mesh",
+                 os.path.join(REPO, "meshes/mesh-2D-gen-xfine.msh"),
+                 "--deltat", "0.0025", "--operator-path", "tile",
+                 "--tile-elements", "32", "--criterion", "defect"],
+        "total_steps": 7200,
+        "seg_steps": 400,
+        "ckpt": "validation/checkpoints/2d2_855k_defect_tail.npz",
+        "partial": "validation/partial_forces_2d2_855k_defect_tail.txt",
+        "final": "forces_2d2_855k_T14-18_dt0.0025_tpu_f32_tile_defect.txt",
+    },
     # Wake-corrected corridor rung (~696k dofs, mesh-2D-gen-xfine2:
     # h_far=0.012, h_cyl=0.0015).  The 855k xfine T=14 trace develops a
     # CLEAN limit cycle OFF the corridor (St 0.273, Cl_max 1.12) — the
