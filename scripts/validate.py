@@ -183,7 +183,13 @@ SEGMENTED = {
         "args": ["--case", "2D-2", "--mesh",
                  os.path.join(REPO, "meshes/mesh-2D-gen-xfine2.msh"),
                  "--deltat", "0.0025", "--operator-path", "tile",
-                 "--tile-elements", "32", "--criterion", "rhs"],
+                 "--tile-elements", "32"],
+        # 'rhs' is scale-unsafe at >500k dofs (855k finding: it slows the
+        # developed vortex street 9%); run the transient cheaply under
+        # 'rhs' and the measurement window under 'defect' (the cycle
+        # re-locks within one period, measured).
+        "phases": [(0, ["--criterion", "rhs"]),
+                   (3600, ["--criterion", "defect"])],
         "total_steps": 4800,
         "seg_steps": 400,
         "ckpt": "validation/checkpoints/2d2_700k.npz",
