@@ -12,7 +12,15 @@ RUNG="${1:?usage: run_seg_rung.sh <rung> [max_segments]}"
 MAX="${2:-40}"
 for i in $(seq 1 "$MAX"); do
   echo "=== segment attempt $i/$MAX for $RUNG ==="
-  python scripts/validate.py "$RUNG"
+  # A client launched seconds after the previous one exits can find the
+  # device still holding the old client's memory (RESOURCE_EXHAUSTED —
+  # the axon teardown lag, see CLAUDE.md).  Cool down once and retry
+  # before giving up; a second failure stops the loop (rerun to resume).
+  if ! python scripts/validate.py "$RUNG"; then
+    echo "=== segment failed; 150 s cooldown, then one retry ==="
+    sleep 150
+    python scripts/validate.py "$RUNG"
+  fi
   git add validation/
   git commit -q -m "validation: $RUNG segment (auto-commit by run_seg_rung.sh)" || true
   # Completed? validate.py promotes the partial and removes the checkpoint.
