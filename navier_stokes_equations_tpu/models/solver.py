@@ -1328,7 +1328,8 @@ class NavierStokesSolver:
         With the single-stacked-pull metrics read, window=8 measures ~14%
         FASTER than per-step synchronous pulls on the axon-tunneled TPU
         (197 -> 172 ms/step on mesh-2D-100 developed flow; bench.py uses
-        window=24).  Default stays window=1 for exact per-step logging.
+        window=48, the round-4 plateau).  Default stays window=1 for
+        exact per-step logging.
         """
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
