@@ -29,7 +29,6 @@ CANDS = {
     'fixed,quad': {},
     'ew,quad': dict(newton_forcing='ew'),
     # Round-4: te=32 + auto (RCB) clustering is the headline tiling.
-    'fixed,tile': dict(operator_path='tile', tile_elements=32),
     'ew,tile': dict(newton_forcing='ew', operator_path='tile',
                     tile_elements=32),
     # Round-4: modified Newton — freeze the Jacobian/preconditioner for
@@ -38,8 +37,10 @@ CANDS = {
                            tile_elements=32, newton_jacobian_reuse=3),
     'ew,tile,reuse6': dict(newton_forcing='ew', operator_path='tile',
                            tile_elements=32, newton_jacobian_reuse=6),
-    'ew,quad,p1=4': dict(newton_forcing='ew', precond_p1_iters=4),
 }
+if os.environ.get('NEWTON_EW_ALL'):
+    CANDS['fixed,tile'] = dict(operator_path='tile', tile_elements=32)
+    CANDS['ew,quad,p1=4'] = dict(newton_forcing='ew', precond_p1_iters=4)
 
 for name, over in CANDS.items():
     cfg = dataclasses.replace(base, **over)
