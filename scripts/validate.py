@@ -172,13 +172,14 @@ SEGMENTED = {
         "partial": "validation/partial_forces_2d2_855k_defect_tail.txt",
         "final": "forces_2d2_855k_T14-18_dt0.0025_tpu_f32_tile_defect.txt",
     },
-    # Wake-corrected corridor rung (~696k dofs, mesh-2D-gen-xfine2:
-    # h_far=0.012, h_cyl=0.0015).  The 855k xfine T=14 trace develops a
-    # CLEAN limit cycle OFF the corridor (St 0.273, Cl_max 1.12) — the
-    # distortion tracks the far-field grading (h_far 0.026 vs the
-    # uniformly-fine mesh-2D-100 which holds St 0.298 to t=24), so this
-    # rung flips the dof budget toward the wake.  T=12 gives the cycle
-    # several seconds past saturation.
+    # Wake-corrected mesh-sensitivity rung (~696k dofs, mesh-2D-gen-xfine2:
+    # h_far=0.012, h_cyl=0.0015).  Built when the 855k T=14 'rhs' cycle sat
+    # off-corridor and far-field grading was the leading hypothesis; the
+    # defect-criterion tail then closed the corridor on the ORIGINAL 855k
+    # mesh (St 0.3017/Cd_max 3.2278/dP 2.484 — tolerance artifact, PARITY
+    # #11), so this rung is now an optional mesh-sensitivity study, not a
+    # corridor requirement.  Its two-phase protocol (cheap 'rhs' transient,
+    # 'defect' measurement window) is the standard for >500k-dof rungs.
     "2d2_700k_seg": {
         "args": ["--case", "2D-2", "--mesh",
                  os.path.join(REPO, "meshes/mesh-2D-gen-xfine2.msh"),
