@@ -77,7 +77,10 @@ RUNS = {
     # resolution miss; Newton runs the host driver at this size).
     "3d1z_fine": (
         ["--case", "3D-1Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-fine.msh"),
-         "--steps", "50"],
+         # EW forcing + modified-Newton reuse: measured on 2D-1 (same
+         # Newton+BE structure) to cut Krylov its 39% at identical Cd
+         # (scripts/exp_newton_ew.py, round 4); outer stopping stays exact.
+         "--steps", "50", "--newton-forcing", "ew", "--newton-reuse", "3"],
         "forces_3d1z_mesh-3D-fine_tpu_f32.txt",
     ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'
