@@ -613,6 +613,15 @@ class NavierStokesSolver:
         raw = g * (res / jnp.maximum(prev, 1e-300)) ** a
         sg = g * eta_prev**a
         eta = jnp.where(sg > 0.1, jnp.maximum(raw, sg), raw)
+        # Non-descent safeguard: choice 2 LOOSENS on stagnation (res ~ prev
+        # gives eta ~ gamma, clamped to eta_max) — exactly backwards when
+        # the last direction was too inexact to descend.  Measured failure:
+        # 3D-1Z SUPG at 666k dofs, every step's Newton stalled at
+        # ||R||~2e-3 from iteration 0 with eta pinned at eta_max=0.5.  If
+        # the residual failed the damping ladder's own 0.9 descent test,
+        # tighten geometrically instead (rescues within the 3-iteration
+        # stall budget: 0.5 -> 0.05 -> 0.005).
+        eta = jnp.where(res > 0.9 * prev, 0.1 * eta_prev, eta)
         eta = jnp.where(it == 0, cfg.newton_forcing_eta_max, eta)
         target = jnp.maximum(cfg.newton_tolerance, cfg.newton_rtol * res0)
         over = 0.5 * target / jnp.maximum(res, 1e-300)

@@ -77,10 +77,13 @@ RUNS = {
     # resolution miss; Newton runs the host driver at this size).
     "3d1z_fine": (
         ["--case", "3D-1Z", "--mesh", os.path.join(REPO, "meshes/mesh-3D-fine.msh"),
-         # EW forcing + modified-Newton reuse: measured on 2D-1 (same
-         # Newton+BE structure) to cut Krylov its 39% at identical Cd
-         # (scripts/exp_newton_ew.py, round 4); outer stopping stays exact.
-         "--steps", "50", "--newton-forcing", "ew", "--newton-reuse", "3"],
+         # Reference-semantics fixed forcing.  An EW+reuse variant was
+         # measured DIVERGENT here (round 4): every step's Newton stalled
+         # at ||R||~2e-3 from iteration 0 — the eta_max=0.5 first solves
+         # are too loose for the stiff 3D SUPG dt=0.1 system and EW
+         # choice 2 only loosens further on stagnation.  EW stays a 2D-1
+         # win (docs/DESIGN.md round-4 Newton section).
+         "--steps", "50"],
         "forces_3d1z_mesh-3D-fine_tpu_f32.txt",
     ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'

@@ -44,6 +44,26 @@ def test_ew_eta_recurrence(mesh2d_path):
     assert eta == pytest.approx(0.5 * cfg.newton_rtol * 1.0 / res, rel=1e-12)
 
 
+def test_ew_eta_tightens_on_non_descent(mesh2d_path):
+    """Choice 2 alone LOOSENS on stagnation (res ~ prev -> eta ~ gamma ->
+    clamped to eta_max) — the measured 3D-1Z@666k failure mode where every
+    step's Newton stalled with eta pinned at 0.5.  When the residual fails
+    the damping ladder's 0.9 descent test the forcing must tighten
+    geometrically (0.1x) instead."""
+    s = _mk(mesh2d_path, newton_forcing="ew")
+    cfg = s.cfg
+    # Stagnation: res barely below prev -> tighten, not gamma*(0.99)^2.
+    assert float(s._ew_eta(0.99, 1.0, 0.5, 2, 1.0)) == pytest.approx(0.05)
+    # Outright growth: same tightening.
+    assert float(s._ew_eta(1.3, 1.0, 0.05, 3, 1.0)) == pytest.approx(0.005)
+    # Repeated non-descent bottoms out at eta_min, never below.
+    assert float(
+        s._ew_eta(1.0, 1.0, 2 * cfg.newton_forcing_eta_min, 4, 1.0)
+    ) == pytest.approx(cfg.newton_forcing_eta_min)
+    # A genuinely descending step is untouched by the safeguard.
+    assert float(s._ew_eta(0.5, 1.0, 0.5, 1, 1.0)) == pytest.approx(0.9 * 0.25)
+
+
 @pytest.mark.parametrize("driver", ["graph", "host"])
 def test_ew_converges_to_same_steady_state(mesh2d_path, driver):
     s_fix = _mk(mesh2d_path, newton_driver=driver)
