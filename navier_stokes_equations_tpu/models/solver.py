@@ -78,6 +78,10 @@ class StepMetrics:
 class NavierStokesSolver:
     """End-to-end solver for one benchmark configuration on one mesh."""
 
+    # The halo subclass builds PER-STRIP tile decompositions instead
+    # (parallel/halo_tiles.py) and skips the global one.
+    _build_single_chip_tiles = True
+
     def __init__(
         self,
         cfg: SolverConfig,
@@ -97,7 +101,7 @@ class NavierStokesSolver:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
         self.fe = fe_arrays.build_fe_arrays(mesh, n_q1d=n_q1d, dtype=dtype)
-        if cfg.operator_path == "tile":
+        if cfg.operator_path == "tile" and self._build_single_chip_tiles:
             if cfg.tile_resident and cfg.precond_vel_method not in (
                 "jacobi", "p1coarse", "p1coarse_mult"
             ):

@@ -49,10 +49,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import NonlinearMethod, SolverConfig, TimeScheme
 from ..models.solver import NavierStokesSolver, State, StepMetrics
-from ..ops import assembly, functionals, matfree
+from ..ops import assembly, functionals, matfree, tile_operator
 from ..solvers import chebyshev, gmres, preconditioners
 from . import halo_fe as hf
 from . import halo_schur
+from . import halo_tiles
 from . import sharding
 
 
@@ -114,6 +115,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
     I/O (VTU, checkpoints, validation).
     """
 
+    # Tile decompositions are built PER STRIP in the local numbering
+    # (parallel/halo_tiles.py); the base class must not build (and pay
+    # for) the global single-chip one.
+    _build_single_chip_tiles = False
+
     def __init__(
         self,
         cfg: SolverConfig,
@@ -147,10 +153,12 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 "and force XLA resharding collectives); gmres_dots="
                 f"{cfg.gmres_dots!r} is single-chip only"
             )
-        if cfg.operator_path == "tile":
+        if cfg.operator_path == "tile" and cfg.tile_resident:
             raise NotImplementedError(
-                "halo layout evaluates operators through its shard_mapped "
-                "quadrature kernels; operator_path='tile' is single-chip only"
+                "tile_resident Krylov is single-chip-only: its inter-tile "
+                "exchange is a same-chip slot gather, while across chips the "
+                "halo layout's node-level ppermute exchange already carries "
+                "the O(interface) traffic (PARITY.md #8)"
             )
         super().__init__(cfg, mesh, n_q1d=n_q1d)
         if n_shards is None:
@@ -177,7 +185,25 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 for i, p in enumerate(real_parts)
             ]
         self.hfe = hf.build_halo_fe(self.fe, n_shards, strips=strips)
+        # Per-strip tile decompositions (the distributed assembled-operator
+        # path) are built from the UNSHARDED HaloFE (host numpy reads).
+        self.htiles = None
+        if cfg.operator_path == "tile":
+            self.htiles = halo_tiles.build_halo_tiles(
+                self.mesh, self.hfe, tile_e=cfg.tile_elements,
+                cluster=cfg.tile_cluster,
+            )
         self.hfe = hf.shard_halo_fe(self.hfe, self.device_mesh)
+        if self.htiles is not None:
+            self.htiles = halo_tiles.shard_halo_tiles(
+                self.htiles, self.device_mesh
+            )
+            if not cfg.use_supg:
+                # Static S1/S2/G/H + phi tables for the fast per-step
+                # Oseen build (SUPG cases use the generic block build).
+                self.htiles = halo_tiles.build_halo_tile_statics(
+                    self.hfe, self.htiles, self.device_mesh
+                )
         self._spec = NamedSharding(self.device_mesh, P(self.hfe.axis))
 
         hfe = self.hfe
@@ -388,11 +414,16 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         out = P(ax) if n_out == 1 else (P(ax),) * n_out
         return jax.shard_map(body, mesh=self.device_mesh, in_specs=specs, out_specs=out)
 
-    def _assemble_halo(self, hfe, params, state, t_new, first_order):
-        """shard_map pass: RHS, matrix diagonal, advection tables."""
+    def _assemble_halo(self, hfe, htiles, params, state, t_new, first_order):
+        """shard_map pass: RHS, matrix diagonal, advection tables — plus the
+        per-strip tile blocks when ``operator_path == "tile"`` (the operator
+        is reduced ONCE per trial; every Krylov application is then tile
+        matvecs instead of re-deriving the form — parallel/halo_tiles.py)."""
         cfg = self.cfg
+        tile = cfg.operator_path == "tile"
 
-        def body(fe_stack, send_n, send_v, x_old2, x_oo2, params, first_order, t_new):
+        def body(fe_stack, ht_stack, send_n, send_v, x_old2, x_oo2, params,
+                 first_order, t_new):
             fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
             sn, sv = send_n[0], send_v[0]
             x_old = hf.import_halo(hfe, x_old2[0], sn, sv)
@@ -410,28 +441,50 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             b = hf.export_halo(hfe, fe_loc.accumulate(b_e), sn, sv)
             diag = hf.export_halo(hfe, fe_loc.accumulate(diag_e), sn, sv)
             tables = _pack(matfree.advection_tables(fe_loc, params, u_star))
-            return b[None], diag[None], jax.tree.map(lambda a: a[None], tables)
+            blk = ()
+            if tile:
+                ht_loc = halo_tiles._loc(ht_stack)
+                if cfg.use_supg:
+                    dvv, cvv, avp, apv, _ = assembly.oseen_blocks(
+                        fe_loc, params, u_star, u_old, f_new, f_old
+                    )
+                    blk = tile_operator.build_tile_blocks(
+                        fe_loc, ht_loc.tiles, dvv, cvv, avp, apv
+                    )
+                else:
+                    blk = tile_operator.build_tile_blocks_oseen(
+                        fe_loc, ht_loc.tiles, params, u_star
+                    )
+            return (
+                b[None], diag[None],
+                jax.tree.map(lambda a: a[None], tables),
+                jax.tree.map(lambda a: a[None], blk),
+            )
 
-        mapped = self._shmap(body, n_in=5, n_scalar=3, n_out=3)
+        mapped = self._shmap(body, n_in=6, n_scalar=3, n_out=4)
         Pn = hfe.n_shards
         x_old2 = state.x_old.reshape(Pn, hfe.n_ld)
         x_oo2 = state.x_old_old.reshape(Pn, hfe.n_ld)
         return mapped(
-            hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x_old2, x_oo2,
-            params, first_order, t_new,
+            hfe.fe_stack, htiles, hfe.send_nodes, hfe.send_verts, x_old2,
+            x_oo2, params, first_order, t_new,
         )
 
-    def _assemble_newton_halo(self, hfe, params, x2, x_old2, t_new):
-        """shard_map pass: Newton residual RHS, Jacobian diagonal, tables.
+    def _assemble_newton_halo(self, hfe, htiles, params, x2, x_old2, t_new):
+        """shard_map pass: Newton residual RHS, Jacobian diagonal, tables —
+        plus the per-strip Jacobian tile blocks on the tile path.
 
         The quadrature-path kernel (assembly.newton_rhs_diag) runs verbatim
         on each strip's local FEArrays — the (nd, nd) Jacobian element
         matrices are never formed (reference assembles them every Newton
-        iteration, NavierStokes.cpp:278-539).
+        iteration, NavierStokes.cpp:278-539).  On the tile path the
+        physical Jacobian blocks are reduced to tile matrices once per
+        Newton iteration, exactly like the single-chip _newton_tile_ctx.
         """
         cfg = self.cfg
+        tile = cfg.operator_path == "tile"
 
-        def body(fe_stack, send_n, send_v, x_cur2, x_o2, params, t_new):
+        def body(fe_stack, ht_stack, send_n, send_v, x_cur2, x_o2, params, t_new):
             fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
             sn, sv = send_n[0], send_v[0]
             x_cur = hf.import_halo(hfe, x_cur2[0], sn, sv)
@@ -442,9 +495,20 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             if cfg.forcing is not None:
                 f_new = cfg.forcing(fe_loc.qpoints, t_new)
                 f_old = cfg.forcing(fe_loc.qpoints, t_new - params.dt)
-            diag_e, b_e = assembly.newton_rhs_diag(
-                fe_loc, params, u_cur, p_cur, u_old, f_new, f_old
-            )
+            blk = ()
+            if tile:
+                dvv, cvv, avp, apv, b_v, b_p = assembly.newton_blocks(
+                    fe_loc, params, u_cur, p_cur, u_old, f_new, f_old
+                )
+                b_e = assembly.rhs_to_element(fe_loc, b_v, b_p)
+                diag_e = assembly.blocks_diag(fe_loc, dvv, cvv)
+                blk = tile_operator.build_tile_blocks(
+                    fe_loc, halo_tiles._loc(ht_stack).tiles, dvv, cvv, avp, apv
+                )
+            else:
+                diag_e, b_e = assembly.newton_rhs_diag(
+                    fe_loc, params, u_cur, p_cur, u_old, f_new, f_old
+                )
             b = hf.export_halo(hfe, fe_loc.accumulate(b_e), sn, sv)
             diag = hf.export_halo(hfe, fe_loc.accumulate(diag_e), sn, sv)
             # Roundoff-floor witness: |b_e| accumulated (all-positive sums),
@@ -456,74 +520,104 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             return (
                 b[None], diag[None], babs[None],
                 jax.tree.map(lambda a: a[None], tables),
+                jax.tree.map(lambda a: a[None], blk),
             )
 
-        mapped = self._shmap(body, n_in=5, n_scalar=2, n_out=4)
+        mapped = self._shmap(body, n_in=6, n_scalar=2, n_out=5)
         return mapped(
-            hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x2, x_old2, params, t_new
+            hfe.fe_stack, htiles, hfe.send_nodes, hfe.send_verts, x2, x_old2,
+            params, t_new,
         )
 
-    def _make_matvec(self, hfe, statics, params, tables, newton: bool = False):
+    def _make_matvec(self, hfe, statics, params, tables, newton: bool = False,
+                     htiles=None, blocks=()):
         """Row-constrained distributed operator on flat sharded vectors.
 
         ``newton``: the advection tables carry the linearized-reaction
         gradient (Newton Jacobian, reference: cpp:421-437) instead of the
-        Oseen matrix.
+        Oseen matrix.  On the tile path the operator is the per-strip tile
+        matvec on the prebuilt ``blocks`` (Oseen or Jacobian — whatever the
+        assembly pass reduced); ``tables`` then only feed the
+        preconditioner helpers.
         """
         use_supg = self.cfg.use_supg
+        tile = self.cfg.operator_path == "tile"
 
-        def body(fe_stack, tables, send_n, send_v, mask2, x2, params):
-            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
-            tab = _unpack(jax.tree.map(lambda a: a[0], tables), use_supg, newton)
+        def body(fe_stack, ht_stack, blk_stack, tables, send_n, send_v,
+                 mask2, x2, params):
             sn, sv = send_n[0], send_v[0]
             x = hf.import_halo(hfe, x2[0], sn, sv)
-            op = matfree.make_system_operator(fe_loc, params, tables=tab)
-            y = hf.export_halo(hfe, op(x), sn, sv)
+            if tile:
+                y = halo_tiles.tile_apply_local(
+                    hfe, halo_tiles._loc(ht_stack), halo_tiles._loc(blk_stack), x
+                )
+            else:
+                fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+                tab = _unpack(
+                    jax.tree.map(lambda a: a[0], tables), use_supg, newton
+                )
+                op = matfree.make_system_operator(fe_loc, params, tables=tab)
+                y = op(x)
+            y = hf.export_halo(hfe, y, sn, sv)
             return jnp.where(mask2[0], x2[0], y)[None]
 
-        mapped = self._shmap(body, n_in=6, n_scalar=1)
+        mapped = self._shmap(body, n_in=8, n_scalar=1)
 
         def apply_a(x_flat):
             x2 = x_flat.reshape(hfe.n_shards, hfe.n_ld)
             y = mapped(
-                hfe.fe_stack, tables, hfe.send_nodes, hfe.send_verts,
-                statics.mask, x2, params,
+                hfe.fe_stack, htiles, blocks, tables, hfe.send_nodes,
+                hfe.send_verts, statics.mask, x2, params,
             )
             return y.reshape(-1)
 
         return apply_a
 
-    def _make_div_apply(self, hfe, params):
+    def _make_div_apply(self, hfe, params, htiles=None, blocks=()):
         """B z_u (pressure rows only): one pressure-sized halo export.
 
         The demo preconditioner in parallel/halo.py spent a FULL matvec on
         step 2 of Cahouet-Chabard; the divergence block alone is ~1/6 of
-        the work and a dim-times-smaller export message.
+        the work and a dim-times-smaller export message.  On the tile path
+        the pressure rows come from the H tile blocks (identical rows to
+        the single-chip tile operator's ``.divergence``).
         """
+        tile = self.cfg.operator_path == "tile"
 
-        def body(fe_stack, send_n, send_v, z2, params):
-            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+        def body(fe_stack, ht_stack, blk_stack, send_n, send_v, z2, params):
             sv = send_v[0]
             z = hf.import_halo(hfe, z2[0], send_n[0], sv)
-            u = z[: hfe.dim * hfe.n_ln].reshape(hfe.dim, hfe.n_ln).T
-            u_e = u[fe_loc.elems_p2]
-            du_ref = jnp.einsum("qak,ead->eqkd", fe_loc.p2_refg, u_e)
-            gu = jnp.einsum("eqkd,ekm->eqdm", du_ref, fe_loc.jinv)
-            divu = jnp.einsum("eqdd->eq", gu)
-            yp_e = -jnp.einsum("eq,eq,qc->ec", fe_loc.jxw, divu, fe_loc.p1_val)
-            yp = fe_loc.accumulate_p(yp_e)
+            if tile:
+                yp = halo_tiles.tile_divergence_local(
+                    hfe, halo_tiles._loc(ht_stack), halo_tiles._loc(blk_stack), z
+                )
+            else:
+                fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+                u = z[: hfe.dim * hfe.n_ln].reshape(hfe.dim, hfe.n_ln).T
+                u_e = u[fe_loc.elems_p2]
+                du_ref = jnp.einsum("qak,ead->eqkd", fe_loc.p2_refg, u_e)
+                gu = jnp.einsum("eqkd,ekm->eqdm", du_ref, fe_loc.jinv)
+                divu = jnp.einsum("eqdd->eq", gu)
+                yp_e = -jnp.einsum(
+                    "eq,eq,qc->ec", fe_loc.jxw, divu, fe_loc.p1_val
+                )
+                yp = fe_loc.accumulate_p(yp_e)
             # Export pressure halo partials to their owners (compress(add)).
             return hf.export_halo_p(hfe, yp, sv)[None]
 
-        mapped = self._shmap(body, n_in=4, n_scalar=1)
+        mapped = self._shmap(body, n_in=6, n_scalar=1)
 
         def div_apply(z2):
             # z2: (P, n_ld) with pressure rows zero; returns (P, n_lp).
-            return mapped(hfe.fe_stack, hfe.send_nodes, hfe.send_verts, z2, params)
+            return mapped(
+                hfe.fe_stack, htiles, blocks, hfe.send_nodes, hfe.send_verts,
+                z2, params,
+            )
 
         return div_apply
 
-    def _make_vel_apply(self, hfe, statics, params, tables, newton: bool = False):
+    def _make_vel_apply(self, hfe, statics, params, tables,
+                        newton: bool = False, htiles=None, blocks=()):
         """Velocity-block-only distributed apply (Chebyshev smoothing).
 
         Mirrors the single-chip wrapper in models/solver.py::_solve_linear
@@ -533,26 +627,36 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         iteration counts coincide across layouts.
         """
         use_supg = self.cfg.use_supg
+        tile = self.cfg.operator_path == "tile"
         off = hfe.dim * hfe.n_ln
 
-        def body(fe_stack, tables, send_n, send_v, mask2, z2, params):
-            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
-            tab = _unpack(jax.tree.map(lambda a: a[0], tables), use_supg, newton)
+        def body(fe_stack, ht_stack, blk_stack, tables, send_n, send_v,
+                 mask2, z2, params):
             sn, sv = send_n[0], send_v[0]
             zf = jnp.where(mask2[0], 0.0, z2[0]).at[off:].set(0.0)
             x = hf.import_halo(hfe, zf, sn, sv)
-            op = matfree.make_system_operator(fe_loc, params, tables=tab)
-            y = hf.export_halo(hfe, op.velocity_block(x), sn, sv)
+            if tile:
+                y = halo_tiles.tile_velocity_local(
+                    hfe, halo_tiles._loc(ht_stack), halo_tiles._loc(blk_stack), x
+                )
+            else:
+                fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+                tab = _unpack(
+                    jax.tree.map(lambda a: a[0], tables), use_supg, newton
+                )
+                op = matfree.make_system_operator(fe_loc, params, tables=tab)
+                y = op.velocity_block(x)
+            y = hf.export_halo(hfe, y, sn, sv)
             y = y.at[off:].set(0.0)
             return jnp.where(mask2[0], z2[0], y)[None]
 
-        mapped = self._shmap(body, n_in=6, n_scalar=1)
+        mapped = self._shmap(body, n_in=8, n_scalar=1)
 
         def vel_apply(z_flat):
             z2 = z_flat.reshape(hfe.n_shards, hfe.n_ld)
             y = mapped(
-                hfe.fe_stack, tables, hfe.send_nodes, hfe.send_verts,
-                statics.mask, z2, params,
+                hfe.fe_stack, htiles, blocks, tables, hfe.send_nodes,
+                hfe.send_verts, statics.mask, z2, params,
             )
             return y.reshape(-1)
 
@@ -708,7 +812,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
     def _make_halo_precond(self, hfe, statics, pops, fe, params, diag2,
                            div_apply, apply_a=None, tables=None, nbinv=None,
-                           newton=False):
+                           newton=False, htiles=None, blocks=()):
         """Block preconditioner on the owned layout.
 
         Velocity step: owned-local Jacobi (default), the P1-coarse
@@ -759,7 +863,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         cheby = cfg.precond_vel_method == "chebyshev"
         if cheby:
             vel_apply = self._make_vel_apply(
-                hfe, statics, params, tables, newton=newton
+                hfe, statics, params, tables, newton=newton,
+                htiles=htiles, blocks=blocks,
             )
             diag_flat = diag2.reshape(-1)
             lmax = chebyshev.estimate_lmax(
@@ -856,10 +961,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return precond
 
     # --- one ladder trial on the halo layout ----------------------------
-    def _halo_attempt(self, state: State, k, hfe, pops, statics, fe):
-        """Jitted attempt (k traced).  ``hfe``/``pops``/``statics``/``fe``
-        are jit ARGUMENTS so their (potentially GB-scale) leaves stay
-        device-resident buffers instead of being lowered as program
+    def _halo_attempt(self, state: State, k, hfe, pops, statics, fe,
+                      htiles=None):
+        """Jitted attempt (k traced).  ``hfe``/``pops``/``statics``/``fe``/
+        ``htiles`` are jit ARGUMENTS so their (potentially GB-scale) leaves
+        stay device-resident buffers instead of being lowered as program
         constants (``fe`` is the GLOBAL element arrays consumed by the
         replicated coarse solves in the preconditioner)."""
         cfg = self.cfg
@@ -879,7 +985,9 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             rho=cfg.rho, gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
         )
 
-        b2, diag2, tables = self._assemble_halo(hfe, params, state, t_new, first_order)
+        b2, diag2, tables, blocks = self._assemble_halo(
+            hfe, htiles, params, state, t_new, first_order
+        )
         mask2 = statics.mask
         diag2 = jnp.where(mask2, 1.0, diag2)
         diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
@@ -894,8 +1002,10 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         x0 = jnp.where(mask2, g2, x_start)
 
-        apply_a = self._make_matvec(hfe, statics, params, tables)
-        div_apply = self._make_div_apply(hfe, params)
+        apply_a = self._make_matvec(
+            hfe, statics, params, tables, htiles=htiles, blocks=blocks
+        )
+        div_apply = self._make_div_apply(hfe, params, htiles=htiles, blocks=blocks)
         nbinv = (
             self._halo_nodeblock_inv(
                 hfe, statics, params,
@@ -908,7 +1018,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         precond = self._make_halo_precond(
             hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a,
-            tables=tables, nbinv=nbinv,
+            tables=tables, nbinv=nbinv, htiles=htiles, blocks=blocks,
         )
         res = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond, x0=x0.reshape(-1),
@@ -954,7 +1064,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         return new_state, metrics
 
     # --- Newton path on the halo layout ---------------------------------
-    def _halo_newton_step(self, state: State, hfe, pops, statics, fe):
+    def _halo_newton_step(self, state: State, hfe, pops, statics, fe,
+                          htiles=None):
         """Jitted Newton time step on the distributed owned-node layout.
 
         Mirrors ``NavierStokesSolver._newton_advance`` (reference:
@@ -984,15 +1095,15 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         x_old2 = state.x_old.reshape(Pn, hfe.n_ld)
 
         def residual_system(x2):
-            b2, diag2, babs2, tables = self._assemble_newton_halo(
-                hfe, params, x2, x_old2, t_new
+            b2, diag2, babs2, tables, blocks = self._assemble_newton_halo(
+                hfe, htiles, params, x2, x_old2, t_new
             )
             b_hat = jnp.where(mask2, 0.0, b2)
             diag2 = jnp.where(mask2, 1.0, diag2)
             diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
             eps = jnp.finfo(b2.dtype).eps
             floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
-            return b_hat, diag2, floor, tables
+            return b_hat, diag2, floor, tables, blocks
 
         # Lift the non-homogeneous BCs onto the iterate (cpp:1118-1142).
         x0 = jnp.where(mask2, g2, x_old2)
@@ -1007,7 +1118,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
 
         def body(c):
             x, res_in, prev, res0, stall, damping, eta_prev, it, tg, _, _ = c
-            b_hat, diag2, floor, tables = residual_system(x)
+            b_hat, diag2, floor, tables, blocks = residual_system(x)
             res = jnp.linalg.norm(b_hat)
             res0 = jnp.where(it == 0, res, res0)
             # Same honest stall exit as the single-chip Newton loop: a
@@ -1036,8 +1147,13 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                     jnp.minimum(1.0, d1 * 1.5),
                     d1,
                 )
-                apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
-                div_apply = self._make_div_apply(hfe, params)
+                apply_a = self._make_matvec(
+                    hfe, statics, params, tables, newton=True,
+                    htiles=htiles, blocks=blocks,
+                )
+                div_apply = self._make_div_apply(
+                    hfe, params, htiles=htiles, blocks=blocks
+                )
                 nbinv = (
                     self._halo_nodeblock_inv(
                         hfe, statics, params, x, newton=True
@@ -1048,6 +1164,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 precond = self._make_halo_precond(
                     hfe, statics, pops, fe, params, diag2, div_apply,
                     apply_a=apply_a, tables=tables, nbinv=nbinv, newton=True,
+                    htiles=htiles, blocks=blocks,
                 )
                 sol = gmres.fgmres(
                     apply_a, b_hat.reshape(-1), precond=precond,
@@ -1062,7 +1179,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 x_new = x + d2 * upd
 
                 def backtrack(_):
-                    b2, _, _, _ = residual_system(x_new)
+                    b2, _, _, _, _ = residual_system(x_new)
                     new_res = jnp.linalg.norm(b2)
                     bad = new_res > 2.0 * res
                     d3 = jnp.where(bad, jnp.maximum(0.01, d2 * 0.5), d2)
@@ -1114,10 +1231,11 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         x_old2 = state.x_old.reshape(hfe.n_shards, hfe.n_ld)
         return jnp.where(statics.mask, g2, x_old2), x_old2
 
-    def _hn_asm(self, x2, x_old2, t_new, theta, hfe, pops, statics, fe):
+    def _hn_asm(self, x2, x_old2, t_new, theta, hfe, pops, statics, fe,
+                htiles=None):
         params = self._hn_params(theta)
-        b2, diag2, babs2, tables = self._assemble_newton_halo(
-            hfe, params, x2, x_old2, t_new
+        b2, diag2, babs2, tables, blocks = self._assemble_newton_halo(
+            hfe, htiles, params, x2, x_old2, t_new
         )
         mask2 = statics.mask
         b_hat = jnp.where(mask2, 0.0, b2)
@@ -1125,15 +1243,18 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         diag2 = jnp.where(jnp.abs(diag2) > 1e-30, diag2, 1.0)
         eps = jnp.finfo(b2.dtype).eps
         floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
-        return b_hat, diag2, floor, jnp.linalg.norm(b_hat), tables
+        return b_hat, diag2, floor, jnp.linalg.norm(b_hat), tables, blocks
 
-    def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, d1, rtol, t_new, theta,
-                hfe, pops, statics, fe):
+    def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, blocks, d1, rtol,
+                t_new, theta, hfe, pops, statics, fe, htiles=None):
         cfg = self.cfg
         params = self._hn_params(theta)
         Pn = hfe.n_shards
-        apply_a = self._make_matvec(hfe, statics, params, tables, newton=True)
-        div_apply = self._make_div_apply(hfe, params)
+        apply_a = self._make_matvec(
+            hfe, statics, params, tables, newton=True,
+            htiles=htiles, blocks=blocks,
+        )
+        div_apply = self._make_div_apply(hfe, params, htiles=htiles, blocks=blocks)
         nbinv = (
             self._halo_nodeblock_inv(hfe, statics, params, x2, newton=True)
             if cfg.precond_vel_method == "nodeblock"
@@ -1141,7 +1262,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         )
         precond = self._make_halo_precond(
             hfe, statics, pops, fe, params, diag2, div_apply, apply_a=apply_a,
-            tables=tables, nbinv=nbinv, newton=True,
+            tables=tables, nbinv=nbinv, newton=True, htiles=htiles,
+            blocks=blocks,
         )
         sol = gmres.fgmres(
             apply_a, b_hat.reshape(-1), precond=precond,
@@ -1156,8 +1278,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         res = jnp.linalg.norm(b_hat)
 
         def backtrack(_):
-            b2, _, _, _ = self._assemble_newton_halo(
-                hfe, params, x_new, x_old2, t_new
+            b2, _, _, _, _ = self._assemble_newton_halo(
+                hfe, htiles, params, x_new, x_old2, t_new
             )
             new_res = jnp.linalg.norm(jnp.where(statics.mask, 0.0, b2))
             bad = new_res > 2.0 * res
@@ -1205,8 +1327,8 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         ew = cfg.newton_forcing == "ew"
         eta = cfg.newton_forcing_eta_max
         for it in range(cfg.newton_max_iterations):
-            b_hat, diag2, floor_dev, res_dev, tables = self._hn_asm_jit(
-                x2, x_old2, t_new, th, hfe, pops, statics, fe
+            b_hat, diag2, floor_dev, res_dev, tables, blocks = self._hn_asm_jit(
+                x2, x_old2, t_new, th, hfe, pops, statics, fe, self.htiles
             )
             res, floor = (
                 float(v) for v in np.asarray(jnp.stack([res_dev, floor_dev]))
@@ -1235,9 +1357,9 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 eta = float(self._ew_eta(res, prev, eta, it, res0))
             rtol = eta if ew else cfg.gmres_rtol_newton
             x2, d_dev, its_dev = self._hn_slv_jit(
-                x2, x_old2, b_hat, diag2, tables,
+                x2, x_old2, b_hat, diag2, tables, blocks,
                 jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
-                t_new, th, hfe, pops, statics, fe,
+                t_new, th, hfe, pops, statics, fe, self.htiles,
             )
             d = float(d_dev)  # pull
             tg = tg + its_dev
@@ -1257,14 +1379,15 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             if self._newton_host:
                 return self._halo_newton_host_step(state)
             new_state, m = self._newton_jit(
-                state, self.hfe, self.pressure_ops, self.statics, self.fe
+                state, self.hfe, self.pressure_ops, self.statics, self.fe,
+                self.htiles,
             )
             return new_state, self._pull_metrics(m)
         its_prev = 0
         for k in range(self._n_trials):
             new_state, m = self._attempt_jit(
                 state, self._k_consts[k], self.hfe, self.pressure_ops,
-                self.statics, self.fe,
+                self.statics, self.fe, self.htiles,
             )
             m = self._pull_metrics(m)
             if m.converged or k == self._n_trials - 1:
