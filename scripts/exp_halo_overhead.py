@@ -1,12 +1,13 @@
 """Halo-layout overhead vs the single-chip path (CPU timing study).
 
-VERDICT round-3 stretch item: the tile operator path is single-chip-only
-(PARITY.md #8) and the halo layout's cost has only correctness gates, not
-a measured cost model.  No multi-chip TPU hardware is reachable from this
-environment, so this study times the FULL halo time loop on a virtual
-N-device CPU mesh against the single-chip solver in the SAME process /
-same backend, isolating the layout + shard_map + ppermute overhead from
-everything the two paths share (weak form, Krylov algebra, physics).
+VERDICT round-3 stretch item: the halo layout's cost had only correctness
+gates, not a measured cost model.  No multi-chip TPU hardware is reachable
+from this environment, so this study times the FULL halo time loop on a
+virtual N-device CPU mesh against the single-chip solver in the SAME
+process / same backend, isolating the layout + shard_map + ppermute
+overhead from everything the two paths share (weak form, Krylov algebra,
+physics).  ``--operator-path tile`` times the round-4 distributed tile
+operator (parallel/halo_tiles.py) on both layouts.
 
 What transfers to TPU and what does not:
   * transfers: the RELATIVE per-step overhead decomposition (extra
@@ -66,10 +67,17 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--warm", type=int, default=4)
     ap.add_argument("--shards", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument(
+        "--operator-path", default="quadrature",
+        choices=["quadrature", "tile"],
+        help="operator evaluation on BOTH layouts (the round-4 halo tile "
+        "path makes the assembled operator available multi-chip)",
+    )
     args = ap.parse_args()
 
     cfg = dataclasses.replace(
-        test_cases.make("2D-2", deltat=0.01), dtype="float32")
+        test_cases.make("2D-2", deltat=0.01), dtype="float32",
+        operator_path=args.operator_path, tile_resident=False)
     mesh = sharding.partition_mesh(taylor_hood.load(args.mesh), 8)
     print(f"mesh {args.mesh}: {mesh.n_vertices} verts, "
           f"{mesh.n_el_real} elems", flush=True)
@@ -77,8 +85,9 @@ def main():
     ref = solver.NavierStokesSolver(cfg, mesh)
     t_ref, its_ref, _ = time_loop(ref, ref.initial_state(),
                                   args.warm, args.steps)
-    print(f"single-chip (quad path)   {t_ref * 1e3:9.1f} ms/step   "
-          f"{its_ref:5.1f} its/step", flush=True)
+    print(f"single-chip ({args.operator_path[:4]} path)   "
+          f"{t_ref * 1e3:9.1f} ms/step   {its_ref:5.1f} its/step",
+          flush=True)
 
     for n in args.shards:
         try:
