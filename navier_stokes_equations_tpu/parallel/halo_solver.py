@@ -267,6 +267,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         # same rationale as the single-chip host driver).
         self._hn_x0_jit = jax.jit(self._hn_x0)
         self._hn_asm_jit = jax.jit(self._hn_asm)
+        self._hn_rhs_jit = jax.jit(self._hn_rhs)
         self._hn_slv_jit = jax.jit(self._hn_slv)
         self._hn_fin_jit = jax.jit(self._hn_fin)
 
@@ -1245,6 +1246,46 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
         return b_hat, diag2, floor, jnp.linalg.norm(b_hat), tables, blocks
 
+    def _hn_rhs(self, x2, x_old2, t_new, theta, hfe, statics, fe):
+        """Residual-only shard_map pass for Jacobian-reuse iterations.
+
+        The (frozen) operator/preconditioner inputs are NOT rebuilt; the
+        outer stopping test still sees the TRUE residual at the current
+        iterate (modified Newton) — the halo mirror of the single-chip
+        ``_newton_rhs_step``.
+        """
+        cfg = self.cfg
+        params = self._hn_params(theta)
+
+        def body(fe_stack, send_n, send_v, x_cur2, x_o2, params, t_new):
+            fe_loc = jax.tree.map(lambda a: a[0], fe_stack)
+            sn, sv = send_n[0], send_v[0]
+            x_cur = hf.import_halo(hfe, x_cur2[0], sn, sv)
+            x_old = hf.import_halo(hfe, x_o2[0], sn, sv)
+            u_cur, p_cur = hf.local_fields(hfe, x_cur)
+            u_old, _ = hf.local_fields(hfe, x_old)
+            f_new = f_old = None
+            if cfg.forcing is not None:
+                f_new = cfg.forcing(fe_loc.qpoints, t_new)
+                f_old = cfg.forcing(fe_loc.qpoints, t_new - params.dt)
+            _, b_e = assembly.newton_rhs_diag(
+                fe_loc, params, u_cur, p_cur, u_old, f_new, f_old
+            )
+            b = hf.export_halo(hfe, fe_loc.accumulate(b_e), sn, sv)
+            babs = hf.export_halo(hfe, fe_loc.accumulate(jnp.abs(b_e)), sn, sv)
+            return b[None], babs[None]
+
+        mapped = self._shmap(body, n_in=5, n_scalar=2, n_out=2)
+        b2, babs2 = mapped(
+            hfe.fe_stack, hfe.send_nodes, hfe.send_verts, x2, x_old2,
+            params, t_new,
+        )
+        mask2 = statics.mask
+        b_hat = jnp.where(mask2, 0.0, b2)
+        eps = jnp.finfo(b2.dtype).eps
+        floor = eps * jnp.linalg.norm(jnp.where(mask2, 0.0, babs2))
+        return b_hat, jnp.linalg.norm(b_hat), floor
+
     def _hn_slv(self, x2, x_old2, b_hat, diag2, tables, blocks, d1, rtol,
                 t_new, theta, hfe, pops, statics, fe, htiles=None):
         cfg = self.cfg
@@ -1326,10 +1367,29 @@ class HaloNavierStokesSolver(NavierStokesSolver):
         res_dev = jnp.asarray(0.0, self.dtype)
         ew = cfg.newton_forcing == "ew"
         eta = cfg.newton_forcing_eta_max
+        # Jacobian/preconditioner reuse (modified Newton) is a tile-path
+        # optimization, exactly like the single-chip driver: frozen tile
+        # blocks / diagonal / tables, TRUE residual each iteration.  (The
+        # nodeblock inverses are rebuilt inside _hn_slv from the current
+        # iterate — a slightly fresher preconditioner, harmless to FGMRES.)
+        k_reuse = (
+            max(1, int(cfg.newton_jacobian_reuse))
+            if cfg.operator_path == "tile"
+            else 1
+        )
+        frozen = None
         for it in range(cfg.newton_max_iterations):
-            b_hat, diag2, floor_dev, res_dev, tables, blocks = self._hn_asm_jit(
-                x2, x_old2, t_new, th, hfe, pops, statics, fe, self.htiles
-            )
+            if k_reuse > 1 and it % k_reuse != 0 and frozen is not None:
+                b_hat, res_dev, floor_dev = self._hn_rhs_jit(
+                    x2, x_old2, t_new, th, hfe, statics, fe
+                )
+                diag2, tables, blocks = frozen
+            else:
+                b_hat, diag2, floor_dev, res_dev, tables, blocks = self._hn_asm_jit(
+                    x2, x_old2, t_new, th, hfe, pops, statics, fe, self.htiles
+                )
+                if k_reuse > 1:
+                    frozen = (diag2, tables, blocks)
             res, floor = (
                 float(v) for v in np.asarray(jnp.stack([res_dev, floor_dev]))
             )

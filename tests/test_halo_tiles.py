@@ -168,6 +168,37 @@ def test_supg_matvec_matches_quadrature(mesh2d_path):
     assert np.linalg.norm(y_t - y_q) < 1e-12 * np.linalg.norm(y_q)
 
 
+def test_halo_jacobian_reuse_same_steady_state(mesh2d_path):
+    """newton_jacobian_reuse=k on the halo host driver (tile path) freezes
+    the per-strip tile blocks / diagonal / tables for k-1 iterations while
+    the outer stopping test sees the TRUE residual — the distributed
+    mirror of the single-chip modified Newton (PARITY.md #10)."""
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices (run under the CPU mesh conftest)")
+
+    def mk(**kw):
+        cfg = dataclasses.replace(
+            test_cases.make("2D-1", deltat=0.1), dtype="float64",
+            operator_path="tile", tile_resident=False,
+            newton_driver="host", **kw,
+        )
+        mesh = sharding.partition_mesh(taylor_hood.load(mesh2d_path), N_DEV)
+        return halo_solver.HaloNavierStokesSolver(cfg, mesh, n_shards=N_DEV)
+
+    s_ref, s_ru = mk(), mk(newton_jacobian_reuse=3)
+    st_r, st_u = s_ref.initial_state(), s_ru.initial_state()
+    for _ in range(2):
+        st_r, m_r = s_ref.step(st_r)
+        st_u, m_u = s_ru.step(st_u)
+        assert bool(m_r.converged) and bool(m_u.converged)
+        assert abs(float(m_u.drag) - float(m_r.drag)) < 1e-3
+        assert abs(float(m_u.delta_p) - float(m_r.delta_p)) < 1e-4
+    x_r = np.asarray(s_ref.global_solution(st_r))
+    x_u = np.asarray(s_ru.global_solution(st_u))
+    scale = np.max(np.abs(x_r)) + 1e-30
+    assert np.max(np.abs(x_u - x_r)) < 5e-3 * scale
+
+
 def test_newton_tile_steps_match_single_chip(mesh2d_path):
     """Halo Newton on the tile path (Jacobian reduced to tile matrices once
     per iteration) == single-chip Newton tile trajectory (2D-1 preset)."""
