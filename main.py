@@ -137,6 +137,13 @@ def parse_args(argv=None):
         default=0,
         help="device count for --layout halo (0 = all visible devices)",
     )
+    p.add_argument(
+        "--steady-continuation",
+        action="store_true",
+        help="pseudo-transient dt continuation for steady cases: grow dt "
+        "geometrically after every converged Newton step instead of "
+        "marching T/dt fixed steps (config.steady_continuation)",
+    )
     return p.parse_args(argv)
 
 
@@ -199,6 +206,8 @@ def main(argv=None):
         over["operator_path"] = args.operator_path
     if args.tile_elements is not None:
         over["tile_elements"] = args.tile_elements
+    if args.steady_continuation:
+        over["steady_continuation"] = True
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -261,13 +270,22 @@ def main(argv=None):
             )
 
     n = args.steps if args.steps is not None else max(0, s.n_steps() - int(state.step))
+
+    def drive():
+        if cfg.steady_continuation:
+            return s.run_steady_continuation(
+                state=state, on_step=on_step, logger=logger,
+                max_steps=args.steps,
+            )
+        return s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+
     if args.profile_dir:
         from navier_stokes_equations_tpu.utils import timing
 
         with timing.trace(args.profile_dir):
-            state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+            state, hist = drive()
     else:
-        state, hist = s.run(n_steps=n, state=state, on_step=on_step, logger=logger)
+        state, hist = drive()
     if args.checkpoint_every:
         # Always leave an end-of-run checkpoint so segmented drivers
         # (scripts/validate.py) can resume regardless of step alignment.

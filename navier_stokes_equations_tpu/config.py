@@ -191,6 +191,23 @@ class SolverConfig:
     # this criterion every step burns all 50 iterations.
     newton_rtol: float = 1e-6
     max_substeps: int = 4  # dt-halving retries (reference: NavierStokes.cpp:1211)
+    # Pseudo-transient Δt continuation for the STEADY cases (2D-1, 3D-1Z).
+    # The reference marches them with a fixed dt=0.1 BE ladder until the
+    # flow stops changing (its steady runs are simply long transients,
+    # NavierStokes.cpp:1044-1076); continuation instead GROWS dt
+    # geometrically after every converged step (SER-style: large dt makes
+    # the BE step approach the pure steady Newton solve), so the march
+    # reaches the same fixed point in ~log2(dt_max/dt0) steps instead of
+    # T/dt0.  Newton + host driver only (solver.run_steady_continuation);
+    # a failed step halves dt and retries, exactly like the ladder.
+    steady_continuation: bool = False
+    continuation_growth: float = 2.0  # dt multiplier per converged step
+    continuation_dt_max: float = 51.2  # dt cap (dt0 * 2^9 at dt0=0.1)
+    # Stop when the dt-normalized state rate ||x^{n+1}-x^n|| / (dt ||x^{n+1}||)
+    # falls below this (a discrete ||du/dt|| / ||u||); rate-based so the
+    # test is dt-invariant across the continuation ladder.
+    continuation_steady_tol: float = 1e-5
+    continuation_max_steps: int = 60
     # Warm-start GMRES from the previous time level (the reference starts
     # from zero, cpp:849/560; warm starting converges to the same tolerance
     # in fewer iterations and is the TPU default).

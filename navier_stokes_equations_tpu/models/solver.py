@@ -199,6 +199,13 @@ class NavierStokesSolver:
                 state.x_old,
             )
         )
+        # dt-normalized discrete rate ||x_new - x_old|| / (dt ||x_new||) —
+        # the steady-state detector for Δt continuation (a relative
+        # ||du/dt||; rate-based so the test is dt-invariant).
+        self._steady_rate_jit = jax.jit(
+            lambda x_new, x_old, dt: jnp.linalg.norm(x_new - x_old)
+            / (dt * jnp.maximum(jnp.linalg.norm(x_new), 1e-30))
+        )
 
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
@@ -517,10 +524,14 @@ class NavierStokesSolver:
         return x_final, ok, its, dt_att, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, self.dtype)
 
     # --- Newton path ----------------------------------------------------
-    def _newton_params(self, theta):
+    def _newton_params(self, theta, dt=None):
+        """Step parameters; ``dt`` may be a traced scalar (Δt continuation —
+        the continuation driver re-uses ONE compiled program across the
+        whole growing-dt ladder by passing dt as an argument)."""
         cfg = self.cfg
         return assembly.StepParams(
-            dt=jnp.asarray(self.dt0, self.dtype), theta=theta,
+            dt=jnp.asarray(self.dt0, self.dtype) if dt is None else dt,
+            theta=theta,
             nu=jnp.asarray(self.nu, self.dtype), rho=cfg.rho,
             gamma=cfg.grad_div_gamma, use_supg=cfg.use_supg,
         )
@@ -695,8 +706,8 @@ class NavierStokesSolver:
         return x_out, d_out, sol.iterations
 
     # --- host-driven Newton loop (bounded device-call length) -----------
-    def _newton_asm_step(self, x, x_old, t_new, theta, fe, pops):
-        params = self._newton_params(theta)
+    def _newton_asm_step(self, x, x_old, t_new, theta, fe, pops, dt=None):
+        params = self._newton_params(theta, dt)
         u_old, _ = fe.split(x_old)
         f_new, f_old = self._forcing_at(fe, t_new, params.dt)
         Ad, b_hat, floor = self._newton_residual_system(
@@ -705,8 +716,8 @@ class NavierStokesSolver:
         return Ad, b_hat, jnp.linalg.norm(b_hat), floor
 
     def _newton_slv_step(self, x, x_old, b_hat, Ad, t_new, theta, d1, rtol,
-                         fe, pops):
-        params = self._newton_params(theta)
+                         fe, pops, dt=None):
+        params = self._newton_params(theta, dt)
         u_old, _ = fe.split(x_old)
         f_new, f_old = self._forcing_at(fe, t_new, params.dt)
         return self._newton_linear_solve(
@@ -714,9 +725,9 @@ class NavierStokesSolver:
             rtol=rtol,
         )
 
-    def _newton_rhs_step(self, x, x_old, t_new, theta, fe):
+    def _newton_rhs_step(self, x, x_old, t_new, theta, fe, dt=None):
         """Residual-only device call for Jacobian-reuse iterations."""
-        params = self._newton_params(theta)
+        params = self._newton_params(theta, dt)
         u_old, _ = fe.split(x_old)
         f_new, f_old = self._forcing_at(fe, t_new, params.dt)
         b_hat, floor = self._newton_rhs_floor(fe, params, x, u_old, f_new, f_old)
@@ -726,9 +737,9 @@ class NavierStokesSolver:
         return self._newton_tile_ctx(fe, x, Ad)
 
     def _newton_slv_ctx_step(self, x, x_old, b_hat, ctx, t_new, theta, d1,
-                             rtol, fe, pops):
+                             rtol, fe, pops, dt=None):
         """Linear solve against a (possibly frozen) prebuilt tile context."""
-        params = self._newton_params(theta)
+        params = self._newton_params(theta, dt)
         u_old, _ = fe.split(x_old)
         f_new, f_old = self._forcing_at(fe, t_new, params.dt)
         return self._newton_linear_solve(
@@ -736,13 +747,14 @@ class NavierStokesSolver:
             rtol=rtol, tile_ctx=ctx,
         )
 
-    def _newton_fin(self, state, t_new, x, ok, its, nits, res, fe):
+    def _newton_fin(self, state, t_new, x, ok, its, nits, res, fe, dt=None):
         return self._finalize(
             state, t_new, fe, x, ok, its,
-            jnp.asarray(self.dt0, self.dtype), nits, res,
+            jnp.asarray(self.dt0, self.dtype) if dt is None else dt,
+            nits, res,
         )
 
-    def _newton_host_step(self, state: State) -> tuple[State, StepMetrics]:
+    def _newton_host_step(self, state: State, dt=None) -> tuple[State, StepMetrics]:
         """Host-driven damped Newton (reference: NavierStokes.cpp:1144-1201).
 
         One jitted device call per assembly and per linear solve keeps every
@@ -750,6 +762,10 @@ class NavierStokesSolver:
         of work into ONE program, which the (axon) TPU worker kills as a
         fault.  Costs two scalar pulls per Newton iteration (~70 ms),
         negligible against large-mesh iteration times.
+
+        ``dt`` (optional device scalar) overrides the nominal step — the Δt
+        continuation driver passes the growing step through here so every
+        dt in the ladder reuses the SAME compiled programs.
         """
         cfg = self.cfg
         fe, pops = self.fe, self.pressure_ops
@@ -760,7 +776,9 @@ class NavierStokesSolver:
             else cfg.theta
         )
         th = jnp.asarray(theta_eff, self.dtype)
-        t_new = state.time + jnp.asarray(self.dt0, self.dtype)
+        t_new = state.time + (
+            jnp.asarray(self.dt0, self.dtype) if dt is None else dt
+        )
         x = self._newton_x0_jit(state, t_new)
 
         prev = float("inf")
@@ -785,12 +803,12 @@ class NavierStokesSolver:
                 # Frozen Jacobian/preconditioner; TRUE residual (modified
                 # Newton — the outer stopping test stays exact).
                 b_hat, res_dev, floor_dev = self._newton_rhs_jit(
-                    x, state.x_old, t_new, th, fe
+                    x, state.x_old, t_new, th, fe, dt=dt
                 )
                 Ad = None
             else:
                 Ad, b_hat, res_dev, floor_dev = self._newton_asm_jit(
-                    x, state.x_old, t_new, th, fe, pops
+                    x, state.x_old, t_new, th, fe, pops, dt=dt
                 )
                 if k_reuse > 1:
                     ctx = self._newton_ctx_jit(x, Ad, fe)
@@ -825,13 +843,13 @@ class NavierStokesSolver:
                 x, d_dev, its_dev = self._newton_slv_ctx_jit(
                     x, state.x_old, b_hat, ctx, t_new, th,
                     jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
-                    fe, pops,
+                    fe, pops, dt=dt,
                 )
             else:
                 x, d_dev, its_dev = self._newton_slv_jit(
                     x, state.x_old, b_hat, Ad, t_new, th,
                     jnp.asarray(d1, self.dtype), jnp.asarray(rtol, self.dtype),
-                    fe, pops,
+                    fe, pops, dt=dt,
                 )
             d = float(d_dev)  # pull #2
             tg = tg + its_dev
@@ -840,7 +858,7 @@ class NavierStokesSolver:
 
         new_state, m = self._newton_fin_jit(
             state, t_new, x, jnp.asarray(done), tg,
-            jnp.asarray(iters, jnp.int32), res_dev, fe,
+            jnp.asarray(iters, jnp.int32), res_dev, fe, dt=dt,
         )
         return new_state, self._pull_metrics(m)
 
@@ -1325,6 +1343,94 @@ class NavierStokesSolver:
                 logger.log_step(rec)
             if on_step is not None:
                 on_step(state, rec)
+        return state, history
+
+    def run_steady_continuation(
+        self,
+        state: Optional[State] = None,
+        on_step: Optional[Callable] = None,
+        logger=None,
+        max_steps: Optional[int] = None,
+    ):
+        """Pseudo-transient Δt continuation to the steady state (SER-style).
+
+        The reference solves its steady cases (2D-1, 3D-1Z) by marching a
+        fixed dt=0.1 BE ladder for T/dt steps (NavierStokes.cpp:1044-1076
+        — the steady run IS a long transient there).  This driver reaches
+        the same fixed point in ~log2(dt_max/dt0) steps: every converged
+        Newton step multiplies dt by ``cfg.continuation_growth`` (capped at
+        ``cfg.continuation_dt_max``), so the BE step x^{n+1} solves
+        (x - x^n)/dt + N(x) = 0 with 1/dt -> 0 — approaching the pure
+        steady Newton solve while the shrinking mass term keeps the early,
+        far-from-steady iterations globalized (classical pseudo-transient
+        continuation; the CC Schur preconditioner tracks dt through
+        StepParams automatically).  A non-converged step halves dt and
+        retries from the same state, mirroring the transient dt ladder.
+
+        Stops when the dt-normalized rate ||x^{n+1}-x^n||/(dt ||x^{n+1}||)
+        (a discrete relative ||du/dt||) drops below
+        ``cfg.continuation_steady_tol``.  Newton-method cases only; uses
+        the host Newton driver regardless of config.newton_driver (the
+        growing dt is passed as a device scalar so every rung of the
+        ladder reuses one compiled program set).
+        """
+        cfg = self.cfg
+        if cfg.nonlinear_method != NonlinearMethod.NEWTON:
+            raise NotImplementedError(
+                "steady continuation requires the Newton nonlinear method "
+                "(the linearized ladder has no per-step convergence control "
+                "at large dt)"
+            )
+        state = state if state is not None else self.initial_state()
+        state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
+        dt = float(self.dt0)
+        dt_min = float(self.dt0)
+        n_max = max_steps if max_steps is not None else cfg.continuation_max_steps
+        history = []
+        step_no = int(state.step)
+        retries = 0
+        for _ in range(n_max):
+            t0 = _time.perf_counter()
+            new_state, m = self._newton_host_step(
+                state, dt=jnp.asarray(dt, self.dtype)
+            )
+            if not m.converged and dt > dt_min * (1 + 1e-9) and retries < 8:
+                # Reject: the big step left Newton's basin — halve and
+                # retry from the SAME state (transient-ladder semantics).
+                dt = max(dt_min, 0.5 * dt)
+                retries += 1
+                continue
+            rate = float(
+                self._steady_rate_jit(
+                    new_state.x_old, state.x_old, jnp.asarray(dt, self.dtype)
+                )
+            )
+            wall = _time.perf_counter() - t0
+            state = new_state
+            step_no += 1
+            rec = {
+                "step": step_no,
+                "time": m.time,
+                "Cd": m.drag,
+                "Cl": m.lift,
+                "DeltaP": m.delta_p,
+                "gmres_iters": m.gmres_iters,
+                "newton_iters": m.newton_iters,
+                "converged": m.converged,
+                "wall": wall,
+                "dt": dt,
+                "steady_rate": rate,
+            }
+            history.append(rec)
+            if logger is not None:
+                logger.log_step(rec)
+            if on_step is not None:
+                on_step(state, rec)
+            if m.converged and rate < cfg.continuation_steady_tol:
+                break
+            if m.converged:
+                dt = min(cfg.continuation_dt_max, dt * cfg.continuation_growth)
+                retries = 0
         return state, history
 
     def run_async(self, n_steps: int, state: Optional[State] = None, window: int = 1):
