@@ -234,6 +234,7 @@ def main():
         # traffic at no iteration cost (solves restart there if ever needed).
         precond_p1_iters=int(os.environ.get("BENCH_P1_ITERS", "1")),
         gmres_alloc=int(os.environ.get("BENCH_ALLOC", "16")),
+        kp_inv_storage=os.environ.get("BENCH_KP_STORAGE", "f32"),
     )
     s = solver.NavierStokesSolver(cfg, mesh)
 

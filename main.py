@@ -125,6 +125,10 @@ def parse_args(argv=None):
         help="elements per tile on the tile operator path (config.tile_elements)",
     )
     p.add_argument(
+        "--kp-storage", default=None, choices=["f32", "f16", "bf16x2"],
+        help="storage of the dense K_p^{-1} (config.kp_inv_storage)",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -206,6 +210,8 @@ def main(argv=None):
         over["operator_path"] = args.operator_path
     if args.tile_elements is not None:
         over["tile_elements"] = args.tile_elements
+    if args.kp_storage:
+        over["kp_inv_storage"] = args.kp_storage
     if args.steady_continuation:
         over["steady_continuation"] = True
     cfg = dataclasses.replace(cfg, **over)

@@ -261,6 +261,13 @@ class SolverConfig:
     # inverse is built once on the host and disk-cached; 20k^2 f32 = 1.6 GB
     # of HBM, well within budget.
     precond_schur_dense_max: int = 20000
+    # Storage of the dense K_p^{-1}: "f32" (default), "f16" (half the HBM
+    # bytes per apply; entries pre-scaled by a power of two for range) or
+    # "bf16x2" (hi/lo split, f32 bytes but native-MXU bf16 passes).  The
+    # apply is byte-bound (docs/roofline.json) so "f16" targets ~2x on the
+    # biggest per-iteration kernel; naive single bf16 is NOT offered — its
+    # 8-bit mantissa destroys FGMRES convergence (measured).
+    kp_inv_storage: str = "f32"
 
     # Krylov operator evaluation: "quadrature" (sum-factorized shared-table
     # GEMMs, re-derives the form per application), "tile" (per-tile dense

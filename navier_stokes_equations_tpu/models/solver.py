@@ -131,6 +131,7 @@ class NavierStokesSolver:
             coords=mesh.vertices,  # enables the two-grid Schur beyond dense_max
             mesh=mesh, vel_mask=self.dirichlet.mask,
             p1_coarse=cfg.precond_vel_method.startswith("p1coarse"),
+            kp_inv_storage=cfg.kp_inv_storage,
         )
         self.force_tables = functionals.build_force_tables(mesh, self.fe, dtype)
         self.probe_tables = functionals.build_probe_tables(mesh)

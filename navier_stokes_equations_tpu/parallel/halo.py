@@ -40,6 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.fe_arrays import FEArrays, _transpose_map
+from ..solvers import preconditioners
 
 
 @jax.tree_util.register_dataclass
@@ -307,10 +308,7 @@ def halo_cahouet_chabard(
         t_free = jnp.where(pin_own, 0.0, t)
         # step 3: Schur action; the dense solve is replicated.
         t_glob = gather_global(decomp, t_free.reshape(decomp.n_shards, decomp.n_own_max))
-        kp_inv_t = jnp.matmul(
-            pops.kp_inv, t_glob[n_u:].astype(pops.kp_inv.dtype),
-            preferred_element_type=t_glob.dtype,
-        ).astype(t_glob.dtype)
+        kp_inv_t = preconditioners.apply_kp_inv(pops, t_glob[n_u:])
         kinv_own = scatter_owned(
             decomp, jnp.concatenate([jnp.zeros((n_u,), kp_inv_t.dtype), kp_inv_t])
         ).reshape(-1)

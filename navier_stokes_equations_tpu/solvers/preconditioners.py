@@ -61,6 +61,16 @@ class PressureOperators:
     eps: float = dataclasses.field(metadata=dict(static=True))
     dense: bool = dataclasses.field(metadata=dict(static=True))
     two_level: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Storage format of the dense inverse ("f32" | "f16" | "bf16x2") and the
+    # power-of-two descale applied after an f16 matvec — the K_p^{-1} apply
+    # is HBM-byte-bound (docs/roofline.json: 58% of peak at 4 B/entry), so
+    # halving the bytes halves its time IF the preconditioner quality holds.
+    kp_inv_storage: str = dataclasses.field(
+        default="f32", metadata=dict(static=True)
+    )
+    kp_inv_scale: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True)
+    )
     # --- P1-coarse velocity preconditioner statics (p-multigrid) ---------
     # The coarse space is the P1 vertex subspace of the P2 velocity field on
     # the SAME mesh; the coarse operator per component is the scalar
@@ -289,7 +299,7 @@ def make_p1_coarse_solve(fe: FEArrays, pops: PressureOperators, c_dt, c_nu,
 def build_pressure_operators(
     fe: FEArrays, pin_mask, kp_regularization: float = 1e-6, dense_max: int = 0,
     coords=None, two_level_min: int = 0, mesh=None, vel_mask=None,
-    p1_coarse: bool = False,
+    p1_coarse: bool = False, kp_inv_storage: str = "f32",
 ) -> PressureOperators:
     kp_e = fe.kp_e + kp_regularization * fe.mp_e
     # Diagonal and lumped mass via scatter-add over pressure connectivity.
@@ -326,14 +336,36 @@ def build_pressure_operators(
         )
         agg_ids = jnp.asarray(np.where(agg < 0, n_c, agg).astype(np.int32))
     kp_inv = jnp.zeros(())
+    kp_inv_scale = 1.0
     if dense:
-        # f32 storage is load-bearing: K_p^{-1} entries span many decades
-        # (near-singular regularized Laplacian), and bf16's 8-bit mantissa
-        # destroys the preconditioner (measured: 2D-2 FGMRES stops
-        # converging entirely).  The f32 matvec is ~n_p^2*4 B of HBM
-        # traffic per application — ~1.6 ms at 18k, still far cheaper than
-        # the CG chain it replaces.
-        kp_inv = jnp.asarray(_dense_kp_inverse(fe, kp_e, pin_mask), kp_diag.dtype)
+        # Storage ladder for the byte-bound dense inverse (each apply reads
+        # the full matrix from HBM):
+        #   * "f32"    (default) — 4 B/entry; NAIVE bf16 destroys the
+        #     preconditioner (measured: 2D-2 FGMRES stops converging —
+        #     8-bit mantissa), hence the two refined options;
+        #   * "f16"    — 2 B/entry, HALF the bytes; IEEE half's 11-bit
+        #     mantissa is 8x tighter than bf16.  Entries are pre-scaled by
+        #     a power of two so the largest magnitude sits near 2^14
+        #     (range headroom for the f32->f16 cast), descale after the
+        #     matvec;
+        #   * "bf16x2" — hi/lo bf16 split (~16-bit effective mantissa, same
+        #     4 B/entry as f32 but native-MXU bf16 passes).
+        K32 = jnp.asarray(_dense_kp_inverse(fe, kp_e, pin_mask), jnp.float32)
+        if kp_inv_storage == "f16":
+            import numpy as np
+
+            amax = float(jnp.max(jnp.abs(K32)))
+            s = 2.0 ** np.floor(np.log2(16384.0 / max(amax, 1e-30)))
+            kp_inv = (K32 * s).astype(jnp.float16)
+            kp_inv_scale = 1.0 / s
+        elif kp_inv_storage == "bf16x2":
+            hi = K32.astype(jnp.bfloat16)
+            lo = (K32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            kp_inv = (hi, lo)
+        elif kp_inv_storage == "f32":
+            kp_inv = K32.astype(kp_diag.dtype)
+        else:
+            raise ValueError(f"unknown kp_inv_storage {kp_inv_storage!r}")
 
     vc = {}
     if p1_coarse:
@@ -344,8 +376,41 @@ def build_pressure_operators(
     return PressureOperators(
         kp_diag=kp_diag, mp_lumped=mp_lumped, pin_mask=pin_mask,
         kp_inv=kp_inv, agg_ids=agg_ids, agg_gather=agg_gather, kc_inv=kc_inv,
-        eps=kp_regularization, dense=dense, two_level=two_level, **vc,
+        eps=kp_regularization, dense=dense, two_level=two_level,
+        kp_inv_storage=kp_inv_storage, kp_inv_scale=kp_inv_scale, **vc,
     )
+
+
+def apply_kp_inv(pops: PressureOperators, t_free):
+    """Dense K_p^{-1} @ t_free under the configured storage format.
+
+    All formats accumulate in f32 (``preferred_element_type``); only the
+    HBM-resident matrix (and, for the reduced formats, the 1-vector cast of
+    ``t_free``) is in reduced precision.
+    """
+    if pops.kp_inv_storage == "f16":
+        y = jnp.matmul(
+            pops.kp_inv,
+            t_free.astype(jnp.float16),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * pops.kp_inv_scale).astype(t_free.dtype)
+    if pops.kp_inv_storage == "bf16x2":
+        hi, lo = pops.kp_inv
+        th = t_free.astype(jnp.bfloat16)
+        tl = (t_free - th.astype(t_free.dtype)).astype(jnp.bfloat16)
+        # One pass over hi serves both columns (matrix reads dominate).
+        yh = jnp.matmul(
+            hi, jnp.stack([th, tl], axis=1),
+            preferred_element_type=jnp.float32,
+        )
+        yl = jnp.matmul(lo, th, preferred_element_type=jnp.float32)
+        return (yh[:, 0] + yh[:, 1] + yl).astype(t_free.dtype)
+    return jnp.matmul(
+        pops.kp_inv,
+        t_free.astype(pops.kp_inv.dtype),
+        preferred_element_type=t_free.dtype,
+    ).astype(t_free.dtype)
 
 
 def apply_kp(fe: FEArrays, pops: PressureOperators, x_p):
@@ -373,11 +438,7 @@ def make_kp_solve(fe: FEArrays, pops: PressureOperators, kp_iters: int = 30,
 
     def kp_solve(t_free):
         if pops.dense:
-            return jnp.matmul(
-                pops.kp_inv,
-                t_free.astype(pops.kp_inv.dtype),
-                preferred_element_type=t_free.dtype,
-            ).astype(t_free.dtype)
+            return apply_kp_inv(pops, t_free)
         if pops.two_level:
             # Aggregation two-grid V-cycle: damped-Jacobi smooth, dense
             # coarse solve on the MXU, damped-Jacobi post-smooth.
