@@ -65,6 +65,13 @@ def main():
     # The rung the reference DEFINED but never ran (meshes/mesh-3D-40.geo):
     # 309k tets / 1.36M dofs — resolved-drag territory (Cd -> ~3.3).
     write("mesh-3D-xfine.msh", generators.channel_cylinder_3d(h_far=0.035, h_cyl=0.009, n_layers=14))
+    # Spanwise-anisotropy discriminator for the 3D-1Z dP miss (round 5):
+    # SAME in-plane resolution as mesh-3D-medium, spanwise layers doubled
+    # (8 -> 16; extrusion spacing 0.051 -> 0.0256, cylinder anisotropy
+    # 2.6:1 -> 1.3:1).  The dP ladder WORSENED under in-plane-dominant
+    # refinement (221k: +3% -> 666k: +5.5% vs [0.165, 0.175]); if dP moves
+    # toward the corridor here, spanwise under-resolution is the cause.
+    write("mesh-3D-medium-z16.msh", generators.channel_cylinder_3d(h_far=0.06, h_cyl=0.02, n_layers=16))
 
 
 if __name__ == "__main__":

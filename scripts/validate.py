@@ -86,6 +86,16 @@ RUNS = {
          "--steps", "50"],
         "forces_3d1z_mesh-3D-fine_tpu_f32.txt",
     ),
+    # Spanwise-anisotropy discriminator for the 3D-1Z dP miss: same
+    # in-plane h as mesh-3D-medium, spanwise layers doubled (see
+    # scripts/gen_meshes.py).  dP toward [0.165, 0.175] here indicts the
+    # spanwise spacing; unchanged dP rules it out.
+    "3d1z_z16": (
+        ["--case", "3D-1Z", "--mesh",
+         os.path.join(REPO, "meshes/mesh-3D-medium-z16.msh"),
+         "--steps", "50"],
+        "forces_3d1z_mesh-3D-medium-z16_tpu_f32.txt",
+    ),
     # The 1.36M-dof rung with the defect criterion — the preset 'rhs'
     # tolerance freezes and produces non-physics at this scale
     # (docs/DESIGN.md "accuracy cliff").  rtol 1e-2 is the REFERENCE's own
@@ -100,7 +110,8 @@ RUNS = {
         "forces_3d2z_mesh-3D-xfine_tpu_f32_defect.txt",
     ),
 }
-DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine", "3d1z_fine"}
+DEFAULT_SKIP = {"2d2_855k", "2d2_855k_defect", "3d2z_xfine", "3d1z_fine",
+                "3d1z_z16"}
 
 # ---------------------------------------------------------------------------
 # Segmented long rungs.
