@@ -129,6 +129,12 @@ def parse_args(argv=None):
         help="storage of the dense K_p^{-1} (config.kp_inv_storage)",
     )
     p.add_argument(
+        "--schur-gd-mass", default=None, choices=["on", "off", "auto"],
+        help="grad-div-aware Schur mass term, nu -> nu+gamma "
+        "(config.schur_gd_mass; default auto = on under "
+        "--steady-continuation, off on fixed-dt marches)",
+    )
+    p.add_argument(
         "--layout",
         default="replicated",
         choices=["replicated", "halo"],
@@ -212,6 +218,9 @@ def main(argv=None):
         over["tile_elements"] = args.tile_elements
     if args.kp_storage:
         over["kp_inv_storage"] = args.kp_storage
+    if args.schur_gd_mass is not None:
+        over["schur_gd_mass"] = {"on": True, "off": False, "auto": None}[
+            args.schur_gd_mass]
     if args.steady_continuation:
         over["steady_continuation"] = True
     cfg = dataclasses.replace(cfg, **over)

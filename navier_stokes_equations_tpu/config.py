@@ -268,6 +268,27 @@ class SolverConfig:
     # biggest per-iteration kernel; naive single bf16 is NOT offered — its
     # 8-bit mantissa destroys FGMRES convergence (measured).
     kp_inv_storage: str = "f32"
+    # Include the grad-div coefficient in the Schur mass term:
+    #   z_p = -(rho/dt) K_p^{-1} t - theta*(nu + gamma) M_p^{-1} t.
+    # The weak form carries grad-div gamma=0.1 (reference cpp:463,793) but
+    # the reference's Cahouet-Chabard ignores it; for grad-div-stabilized
+    # systems the Schur complement's mass part scales with (nu + gamma)
+    # (augmented-Lagrangian preconditioning literature), a ~100x coefficient
+    # change at nu~1e-3.  Matters exactly where mass-dominance is weak:
+    # measured on 2D-1 (CPU f64, 888-node mesh) it cuts the continuation
+    # ladder's total Krylov work 4585 -> 2109 iterations (2.2x, same fixed
+    # point to 6 digits) but COSTS 29% on the fixed dt=0.1 march where
+    # (rho/dt) M_p dominance already carries the CC approximation.  None =
+    # auto: on under steady_continuation (the large-dt regime), off on
+    # fixed-dt marches.
+    schur_gd_mass: bool | None = None
+
+    def schur_gd_mass_on(self) -> bool:
+        """Resolve the schur_gd_mass tri-state (None = auto: follow
+        steady_continuation, the regime where it was measured to win)."""
+        if self.schur_gd_mass is None:
+            return self.steady_continuation
+        return self.schur_gd_mass
 
     # Krylov operator evaluation: "quadrature" (sum-factorized shared-table
     # GEMMs, re-derives the form per application), "tile" (per-tile dense

@@ -209,6 +209,14 @@ class NavierStokesSolver:
         )
 
     # ------------------------------------------------------------------
+    def _schur_nu_mass(self):
+        """Schur M_p coefficient: nu + gamma when config.schur_gd_mass
+        resolves on (the grad-div-aware Cahouet-Chabard), else None (= nu)."""
+        if self.cfg.schur_gd_mass_on():
+            return self.nu + self.cfg.grad_div_gamma
+        return None
+
+    # ------------------------------------------------------------------
     def initial_state(self) -> State:
         """Interpolate the initial condition (reference: cpp:1047-1058)."""
         fe = self.fe
@@ -272,6 +280,7 @@ class NavierStokesSolver:
             schur=cfg.precond_schur, u_adv=u_adv,
             gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             structure=cfg.precond_structure,
+            schur_nu_mass=self._schur_nu_mass(),
         )
         res = gmres.fgmres(
             apply_t, bt, precond=precond, x0=xt0,
@@ -338,6 +347,7 @@ class NavierStokesSolver:
             schur=cfg.precond_schur, u_adv=u_adv,
             gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             structure=cfg.precond_structure,
+            schur_nu_mass=self._schur_nu_mass(),
         )
         res = gmres.fgmres(
             apply_a, b_hat, precond=precond, x0=x0,
@@ -1163,6 +1173,7 @@ class NavierStokesSolver:
             schur=cfg.precond_schur, u_adv=u_star,
             gd_gamma=cfg.grad_div_gamma if cfg.use_supg else None,
             structure=cfg.precond_structure,
+            schur_nu_mass=self._schur_nu_mass(),
         )
         seg = cfg.gmres_segment_its
         res = gmres.fgmres(
@@ -1382,6 +1393,12 @@ class NavierStokesSolver:
                 "(the linearized ladder has no per-step convergence control "
                 "at large dt)"
             )
+        if not cfg.steady_continuation:
+            # Programmatic entry without the config flag: running THIS
+            # driver means the config semantically is a continuation run —
+            # set the flag so regime-sensitive autos (schur_gd_mass=None)
+            # resolve for the large-dt ladder.
+            self.cfg = cfg = dataclasses.replace(cfg, steady_continuation=True)
         state = state if state is not None else self.initial_state()
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         dt = float(self.dt0)

@@ -853,6 +853,9 @@ class HaloNavierStokesSolver(NavierStokesSolver):
             kp_dist = self._make_kp_dist(hfe, statics, pops)
         npg = hfe.n_p_glob
         dt, theta, nu, rho = params.dt, params.theta, params.nu, params.rho
+        # Schur M_p coefficient: nu + gamma under config.schur_gd_mass
+        # (grad-div-aware Cahouet-Chabard; see solvers/preconditioners.py).
+        nu_m = nu + cfg.grad_div_gamma if cfg.schur_gd_mass_on() else nu
         p1c = cfg.precond_vel_method.startswith("p1coarse")
         mult = cfg.precond_vel_method == "p1coarse_mult" and apply_a is not None
         if p1c:
@@ -951,7 +954,7 @@ class HaloNavierStokesSolver(NavierStokesSolver):
                 w = fp_apply(y)
                 z_p = -jnp.where(statics.pin_p, 0.0, w) / statics.mp_p
             else:
-                z_p = -(rho / dt) * kinv_loc - (theta * nu) * (
+                z_p = -(rho / dt) * kinv_loc - (theta * nu_m) * (
                     t_free / statics.mp_p
                 )
             z_p = jnp.where(statics.pin_p, t, z_p)

@@ -494,6 +494,7 @@ def make_cahouet_chabard(
     u_adv=None,  # (n_vnodes, dim) advection field (u* / u_k) for schur="pcd"
     gd_gamma=None,  # grad-div coefficient for the P1 coarse level (SUPG cases)
     structure: str = "triangular",  # "triangular" | "diagonal"
+    schur_nu_mass=None,  # Schur M_p coefficient override (config.schur_gd_mass)
 ) -> Callable:
     """Return precond(r) -> z for the current step's system.
 
@@ -614,17 +615,21 @@ def make_cahouet_chabard(
 
     schur_act = make_schur_action(
         fe, pops, kp_solve, dt=dt, theta=theta, nu=nu, rho=rho,
-        schur=schur, uadv_q=uadv_q,
+        schur=schur, uadv_q=uadv_q, nu_mass=schur_nu_mass,
     )
     return precond
 
 
 def make_schur_action(
     fe: FEArrays, pops: PressureOperators, kp_solve, *, dt, theta, nu, rho,
-    schur: str = "cc", uadv_q=None,
+    schur: str = "cc", uadv_q=None, nu_mass=None,
 ) -> Callable:
     """Return schur(t) -> z_p, the approximate -S^{-1} t (nodal pressure
-    space).  Shared by the nodal and tile-resident preconditioners."""
+    space).  Shared by the nodal and tile-resident preconditioners.
+
+    ``nu_mass`` overrides the coefficient of the M_p^{-1} term (the
+    grad-div-aware Schur uses nu + gamma there, config.schur_gd_mass)."""
+    nu_m = nu if nu_mass is None else nu_mass
 
     def schur_act(t):
         t_free = jnp.where(pops.pin_mask, 0.0, t)
@@ -654,7 +659,7 @@ def make_schur_action(
             )
             z_p = -jnp.where(pops.pin_mask, 0.0, w) / pops.mp_lumped
         else:
-            z_p = -(rho / dt) * kp_inv_t - (theta * nu) * (t_free / pops.mp_lumped)
+            z_p = -(rho / dt) * kp_inv_t - (theta * nu_m) * (t_free / pops.mp_lumped)
         return jnp.where(pops.pin_mask, t, z_p)
 
     return schur_act
@@ -681,6 +686,7 @@ def make_cahouet_chabard_local(
     u_adv=None,
     gd_gamma=None,
     structure: str = "triangular",
+    schur_nu_mass=None,  # Schur M_p coefficient override (config.schur_gd_mass)
 ) -> Callable:
     """Tile-RESIDENT Cahouet-Chabard: precond(r) on consistent flat
     tile-local vectors (ops/tile_operator.py docstring).
@@ -714,7 +720,7 @@ def make_cahouet_chabard_local(
         uadv_q = jnp.einsum("qa,ead->eqd", fe.p2_val, u_adv[fe.elems_p2])
     schur_act = make_schur_action(
         fe, pops, kp_solve, dt=dt, theta=theta, nu=nu, rho=rho,
-        schur=schur, uadv_q=uadv_q,
+        schur=schur, uadv_q=uadv_q, nu_mass=schur_nu_mass,
     )
 
     coarse_solve = None

@@ -55,6 +55,34 @@ def test_continuation_matches_fixed_march(continuation_2d1, mesh2d_path):
     assert abs(hist[-1]["DeltaP"] - hist2[-1]["DeltaP"]) < 5e-4
 
 
+def test_gd_mass_tristate_resolution():
+    from navier_stokes_equations_tpu import config as config_mod
+
+    cfg = test_cases.make("2D-1")
+    assert cfg.schur_gd_mass is None and not cfg.schur_gd_mass_on()
+    assert dataclasses.replace(cfg, steady_continuation=True).schur_gd_mass_on()
+    assert dataclasses.replace(cfg, schur_gd_mass=True).schur_gd_mass_on()
+    assert not dataclasses.replace(
+        cfg, steady_continuation=True, schur_gd_mass=False
+    ).schur_gd_mass_on()
+
+
+def test_continuation_gd_mass_auto_wins(continuation_2d1, mesh2d_path):
+    """schur_gd_mass=None resolves ON under continuation (the grad-div
+    Schur mass term, measured 2.2x fewer Krylov its on this ladder);
+    forcing it off must reach the SAME fixed point with more work."""
+    _, _, hist = continuation_2d1  # auto -> on
+    cfg = test_cases.make("2D-1")
+    cfg = dataclasses.replace(cfg, dtype="float64", schur_gd_mass=False)
+    s2 = solver.NavierStokesSolver(cfg, mesh2d_path)
+    _, hist2 = s2.run_steady_continuation()
+    assert abs(hist[-1]["Cd"] - hist2[-1]["Cd"]) < 5e-3
+    assert abs(hist[-1]["DeltaP"] - hist2[-1]["DeltaP"]) < 5e-4
+    its_on = sum(h["gmres_iters"] for h in hist)
+    its_off = sum(h["gmres_iters"] for h in hist2)
+    assert its_on < 0.75 * its_off, (its_on, its_off)
+
+
 def test_continuation_rejects_non_newton(mesh2d_path):
     from navier_stokes_equations_tpu.config import NonlinearMethod
 
