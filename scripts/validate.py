@@ -214,17 +214,30 @@ SEGMENTED = {
         "partial": "validation/partial_forces_2d2_700k.txt",
         "final": "forces_2d2_700k_dt0.0025_tpu_f32_tile.txt",
     },
+    # 1.36M-dof tail protocol (round 5, measured): a zero-guess step at
+    # this scale costs ~150 s (full defect reduction from x0=0 every
+    # step) vs ~15 s warm-started at floor 1e-5 — 388 zero-guess steps
+    # would be ~16 h, beyond one round's chip budget.  And the
+    # floor-1e-5 warm tail FREEZES (0-iteration accepts, README).  So
+    # the tail runs (a) a 25-step ZERO-GUESS WINDOW (steps 412-437:
+    # literal reference Krylov semantics, cpp:849/560 — the unfrozen
+    # anchor), then (b) a warm-started continuation with the floor
+    # LOWERED to 1e-6 (the README's named outstanding experiment:
+    # under the freeze threshold, ~170 its/step ≈ 70 s/step measured),
+    # same defect criterion — the reference's defect-reduction contract
+    # (PARITY.md #11).
     "3d2z_xfine_seg": {
         "args": ["--case", "3D-2Z", "--mesh",
                  os.path.join(REPO, "meshes/mesh-3D-xfine.msh"),
                  "--criterion", "defect", "--rtol", "1e-2",
                  "--defect-floor", "1e-5"],
-        "phases": [(0, []), (412, ["--no-warm-start"])],
+        "phases": [(0, []), (412, ["--no-warm-start"]),
+                   (437, ["--defect-floor", "1e-6"])],
         "total_steps": 800,
         "seg_steps": 100,
         "ckpt": "validation/checkpoints/3d2z_xfine.npz",
         "partial": "validation/partial_forces_3d2z_xfine.txt",
-        "final": "forces_3d2z_mesh-3D-xfine_tpu_f32_zeroguess_tail.txt",
+        "final": "forces_3d2z_mesh-3D-xfine_tpu_f32_unfrozen_tail.txt",
     },
 }
 
