@@ -234,7 +234,13 @@ def main():
         # traffic at no iteration cost (solves restart there if ever needed).
         precond_p1_iters=int(os.environ.get("BENCH_P1_ITERS", "1")),
         gmres_alloc=int(os.environ.get("BENCH_ALLOC", "16")),
-        kp_inv_storage=os.environ.get("BENCH_KP_STORAGE", "f32"),
+        # Round-5 A/B (same session, median-of-3 windows): f32 18.56,
+        # f16 19.76 (+6.4%, Cd/dP within 0.1%, ~1 extra Krylov it),
+        # bf16x2 17.83 (f32 bytes + two passes — dead end).  The dense
+        # K_p^{-1} apply is byte-bound at 58% of HBM peak; f16 halves its
+        # bytes and the 11-bit mantissa (unlike bf16's 8) keeps FGMRES
+        # convergence (docs/DESIGN.md round-5).
+        kp_inv_storage=os.environ.get("BENCH_KP_STORAGE", "f16"),
     )
     s = solver.NavierStokesSolver(cfg, mesh)
 
