@@ -42,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 
 if _TPU:
     jax.config.update("jax_compilation_cache_dir", "/tmp/ns_tpu_jax_cache")
@@ -65,13 +66,17 @@ def time_loop(s, state, n_warm, n_time):
     # starts.  (On CPU this is a harmless no-op read.)
     float(m.drag)
     t0 = time.perf_counter()
-    iters = 0
+    iters = []
     for _ in range(n_time):
         state, m = s.step(state)
-        iters += int(m.gmres_iters)
-    jax.block_until_ready(state.x_old)
+        iters.append(m.gmres_iters)
+    # ONE stacked pull closes the timed window (a per-step int() pull
+    # would add a ~30-40 ms axon round-trip to every step and swamp the
+    # per-step cost on the real chip); the pull also forces the deferred
+    # execution, so the timer covers the actual device work.
+    total_iters = int(jnp.sum(jnp.stack(iters)))
     dt = time.perf_counter() - t0
-    return dt / n_time, iters / n_time, state
+    return dt / n_time, total_iters / n_time, state
 
 
 def main():
